@@ -1,0 +1,73 @@
+"""Perspective crop.
+
+Mirrors get_rotate_crop_image (/root/reference/onnxocr/utils.py:12-53):
+4-pt quad → perspective warp to an axis-aligned (w,h) rect where
+w = max(|p0p1|, |p2p3|), h = max(|p0p3|, |p1p2|); border replicate;
+auto-rot90 when h/w ≥ 1.5. The reference uses cv2.getPerspectiveTransform
++ warpPerspective(INTER_CUBIC); here the homography is solved with
+numpy.linalg and sampling is bilinear with clamped (replicated) borders —
+a documented interpolation-order deviation (cv2 absent in sandbox; the
+deterministic stub models are tolerant to it by construction).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _perspective_matrix(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Solve the 3×3 homography mapping src quad → dst quad."""
+    a = np.zeros((8, 8), dtype=np.float64)
+    b = np.zeros(8, dtype=np.float64)
+    for i in range(4):
+        x, y = src[i]
+        u, v = dst[i]
+        a[2 * i] = [x, y, 1, 0, 0, 0, -u * x, -u * y]
+        a[2 * i + 1] = [0, 0, 0, x, y, 1, -v * x, -v * y]
+        b[2 * i] = u
+        b[2 * i + 1] = v
+    h = np.linalg.solve(a, b)
+    return np.append(h, 1.0).reshape(3, 3)
+
+
+def get_rotate_crop_image(img: np.ndarray, points: np.ndarray) -> np.ndarray:
+    assert len(points) == 4, "shape of points must be 4*2"
+    pts = np.asarray(points, dtype=np.float64)
+    crop_w = int(max(np.linalg.norm(pts[0] - pts[1]), np.linalg.norm(pts[2] - pts[3])))
+    crop_h = int(max(np.linalg.norm(pts[0] - pts[3]), np.linalg.norm(pts[1] - pts[2])))
+    crop_w = max(crop_w, 1)
+    crop_h = max(crop_h, 1)
+    dst = np.array(
+        [[0, 0], [crop_w, 0], [crop_w, crop_h], [0, crop_h]], dtype=np.float64
+    )
+    # invert: map each destination pixel back into the source image
+    m_inv = _perspective_matrix(dst, pts)
+    yy, xx = np.mgrid[0:crop_h, 0:crop_w].astype(np.float64)
+    ones = np.ones_like(xx)
+    denom = m_inv[2, 0] * xx + m_inv[2, 1] * yy + m_inv[2, 2] * ones
+    sx = (m_inv[0, 0] * xx + m_inv[0, 1] * yy + m_inv[0, 2]) / denom
+    sy = (m_inv[1, 0] * xx + m_inv[1, 1] * yy + m_inv[1, 2]) / denom
+
+    h, w = img.shape[:2]
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    fx = sx - x0
+    fy = sy - y0
+    x0c = np.clip(x0, 0, w - 1)
+    x1c = np.clip(x0 + 1, 0, w - 1)
+    y0c = np.clip(y0, 0, h - 1)
+    y1c = np.clip(y0 + 1, 0, h - 1)
+
+    a = img.astype(np.float32)
+    wx = fx[..., None] if a.ndim == 3 else fx
+    wy = fy[..., None] if a.ndim == 3 else fy
+    top = a[y0c, x0c] * (1 - wx) + a[y0c, x1c] * wx
+    bot = a[y1c, x0c] * (1 - wx) + a[y1c, x1c] * wx
+    out = top * (1 - wy) + bot * wy
+    if np.issubdtype(img.dtype, np.integer):
+        out = np.clip(np.rint(out), 0, 255)
+    dst_img = out.astype(img.dtype)
+
+    if dst_img.shape[0] * 1.0 / dst_img.shape[1] >= 1.5:
+        dst_img = np.rot90(dst_img)
+    return dst_img

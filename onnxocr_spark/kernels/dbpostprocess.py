@@ -1,0 +1,298 @@
+"""DB (Differentiable Binarization) postprocess — pure numpy.
+
+Behavioral mirror of DBPostProcess on the default quad path
+(/root/reference/onnxocr/db_postprocess.py:104-157,182-197,220-246):
+
+    prob map → binarize (> thresh, 0.3)
+             → connected components        (cv2.findContours analog)
+             → min-area rect per component (cv2.minAreaRect analog:
+               convex hull + rotating calipers)
+             → drop if min side < min_size (3)
+             → score = mean prob inside box (box_score_fast)
+             → drop if score < box_thresh (0.6)
+             → unclip: offset outward by d = area·unclip_ratio/perimeter
+               (pyclipper JT_ROUND analog — on the quad path the input is
+               always a min-area *rectangle*, and minAreaRect(round-offset
+               of a rectangle by d) is exactly the rectangle grown by d on
+               every side, so the rectangle-grow here is equivalent, not
+               an approximation)
+             → drop if min side < min_size + 2
+             → rescale to source coords: clip(round(x/width·dest_width))
+             → int32 boxes, float scores
+
+cv2/shapely/pyclipper are unavailable in this sandbox; everything below
+is deterministic numpy + a run-based union-find for labeling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# ---------------------------------------------------------------- labeling
+def connected_components(mask: np.ndarray) -> list[np.ndarray]:
+    """8-connected components of a bool mask.
+
+    Returns one (K,2) float32 array of points per component — the left
+    and right endpoint of every horizontal run, which has the same
+    convex hull as the full component (all a min-area rect needs).
+    Components are ordered by (ymin, xmin) for determinism.
+    """
+    h, w = mask.shape
+    parent: list[int] = []
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    runs_by_row: list[list[tuple[int, int, int]]] = []  # (start, end, run_id)
+    prev: list[tuple[int, int, int]] = []
+    for y in range(h):
+        row = mask[y]
+        if not row.any():
+            runs_by_row.append([])
+            prev = []
+            continue
+        d = np.diff(row.astype(np.int8))
+        starts = np.flatnonzero(d == 1) + 1
+        ends = np.flatnonzero(d == -1) + 1
+        if row[0]:
+            starts = np.concatenate(([0], starts))
+        if row[-1]:
+            ends = np.concatenate((ends, [w]))
+        cur: list[tuple[int, int, int]] = []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            rid = len(parent)
+            parent.append(rid)
+            cur.append((s, e, rid))
+        # 8-connectivity: runs touch if intervals overlap when widened by 1
+        i = j = 0
+        while i < len(prev) and j < len(cur):
+            ps, pe, prid = prev[i]
+            cs, ce, crid = cur[j]
+            if ps - 1 < ce and cs - 1 < pe:
+                union(prid, crid)
+            if pe < ce:
+                i += 1
+            else:
+                j += 1
+        runs_by_row.append(cur)
+        prev = cur
+
+    groups: dict[int, list[tuple[int, int, int]]] = {}
+    for y, runs in enumerate(runs_by_row):
+        for s, e, rid in runs:
+            groups.setdefault(find(rid), []).append((y, s, e))
+
+    comps = []
+    for root in sorted(groups, key=lambda r: (groups[r][0][0], groups[r][0][1])):
+        pts = []
+        for y, s, e in groups[root]:
+            pts.append((s, y))
+            pts.append((e - 1, y))
+        comps.append(np.array(pts, dtype=np.float32))
+    return comps
+
+
+# ------------------------------------------------------- min-area rectangle
+def _convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain; returns CCW hull (in image coords y-down)."""
+    pts = np.unique(points, axis=0)
+    if len(pts) <= 2:
+        return pts
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+
+    def half(seq):
+        out: list[np.ndarray] = []
+        for p in seq:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1], dtype=np.float32)
+
+
+def min_area_rect(points: np.ndarray) -> tuple[np.ndarray, float]:
+    """Rotating-calipers minimum-area rectangle.
+
+    Returns (4 corner points float32, min side length) — the analog of
+    cv2.minAreaRect + cv2.boxPoints + the get_mini_boxes corner ordering
+    (/root/reference/onnxocr/db_postprocess.py:159-180): corners ordered
+    [top-left, top-right, bottom-right, bottom-left] by the reference's
+    sort-by-x-then-split-by-y rule.
+    """
+    hull = _convex_hull(points)
+    if len(hull) == 1:
+        p = hull[0]
+        return np.tile(p, (4, 1)).astype(np.float32), 0.0
+    if len(hull) == 2:
+        a, b = hull
+        return np.array([a, b, b, a], dtype=np.float32), 0.0
+
+    best = None
+    n = len(hull)
+    for i in range(n):
+        edge = hull[(i + 1) % n] - hull[i]
+        norm = np.hypot(edge[0], edge[1])
+        if norm < 1e-9:
+            continue
+        u = edge / norm
+        v = np.array([-u[1], u[0]], dtype=np.float64)
+        pu = hull @ u
+        pv = hull @ v
+        du, dv = pu.max() - pu.min(), pv.max() - pv.min()
+        area = du * dv
+        if best is None or area < best[0] - 1e-9:
+            best = (area, u, v, pu.min(), pu.max(), pv.min(), pv.max())
+    assert best is not None
+    _, u, v, u0, u1, v0, v1 = best
+    corners = np.array(
+        [
+            u0 * u + v0 * v,
+            u1 * u + v0 * v,
+            u1 * u + v1 * v,
+            u0 * u + v1 * v,
+        ],
+        dtype=np.float32,
+    )
+    sside = float(min(u1 - u0, v1 - v0))
+    return _order_mini_box(corners), sside
+
+
+def _order_mini_box(corners: np.ndarray) -> np.ndarray:
+    """get_mini_boxes corner ordering (db_postprocess.py:161-179)."""
+    pts = sorted(corners.tolist(), key=lambda p: p[0])
+    if pts[1][1] > pts[0][1]:
+        i1, i4 = 0, 1
+    else:
+        i1, i4 = 1, 0
+    if pts[3][1] > pts[2][1]:
+        i2, i3 = 2, 3
+    else:
+        i2, i3 = 3, 2
+    return np.array([pts[i1], pts[i2], pts[i3], pts[i4]], dtype=np.float32)
+
+
+# ------------------------------------------------------------------ scoring
+def box_score_fast(bitmap: np.ndarray, box: np.ndarray) -> float:
+    """Mean of ``bitmap`` inside the quad (db_postprocess.py:182-197)."""
+    h, w = bitmap.shape[:2]
+    b = box.copy()
+    xmin = int(np.clip(np.floor(b[:, 0].min()), 0, w - 1))
+    xmax = int(np.clip(np.ceil(b[:, 0].max()), 0, w - 1))
+    ymin = int(np.clip(np.floor(b[:, 1].min()), 0, h - 1))
+    ymax = int(np.clip(np.ceil(b[:, 1].max()), 0, h - 1))
+    b[:, 0] -= xmin
+    b[:, 1] -= ymin
+    mask = _fill_quad(ymax - ymin + 1, xmax - xmin + 1, b.astype(np.int32))
+    if not mask.any():
+        return 0.0
+    return float(bitmap[ymin : ymax + 1, xmin : xmax + 1][mask].mean())
+
+
+def _fill_quad(h: int, w: int, quad: np.ndarray) -> np.ndarray:
+    """Inclusive point-in-convex-polygon raster (cv2.fillPoly analog)."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    inside = np.ones((h, w), dtype=bool)
+    n = len(quad)
+    q = quad.astype(np.float64)
+    # signed area (shoelace) decides winding; accept boundary points
+    area2 = sum(
+        q[i][0] * q[(i + 1) % n][1] - q[(i + 1) % n][0] * q[i][1] for i in range(n)
+    )
+    sign = 1.0 if area2 >= 0 else -1.0
+    for i in range(n):
+        x1, y1 = q[i]
+        x2, y2 = q[(i + 1) % n]
+        cross = (x2 - x1) * (yy - y1) - (y2 - y1) * (xx - x1)
+        inside &= sign * cross >= 0
+    return inside
+
+
+# ------------------------------------------------------------------- unclip
+def unclip_rect(box: np.ndarray, unclip_ratio: float) -> tuple[np.ndarray, float]:
+    """Grow a min-area rectangle outward by d = area·ratio/perimeter.
+
+    Equivalent (exactly, for rectangles — see module docstring) to the
+    reference's pyclipper round-joint offset followed by minAreaRect
+    (db_postprocess.py:137-157). Returns (expanded 4-pt box, min side).
+    """
+    p0, p1, p2, p3 = box.astype(np.float64)
+    du = p1 - p0
+    dv = p3 - p0
+    w = float(np.hypot(*du))
+    h = float(np.hypot(*dv))
+    if w < 1e-9 or h < 1e-9:
+        return box.copy(), 0.0
+    area = w * h
+    perim = 2.0 * (w + h)
+    d = area * unclip_ratio / perim
+    u = du / w
+    v = dv / h
+    grown = np.array(
+        [
+            p0 - d * u - d * v,
+            p1 + d * u - d * v,
+            p2 + d * u + d * v,
+            p3 - d * u + d * v,
+        ],
+        dtype=np.float32,
+    )
+    return _order_mini_box(grown), float(min(w, h) + 2 * d)
+
+
+# -------------------------------------------------------------- entry point
+def db_postprocess(
+    pred: np.ndarray,
+    shape: np.ndarray,
+    thresh: float = 0.3,
+    box_thresh: float = 0.6,
+    max_candidates: int = 1000,
+    unclip_ratio: float = 1.5,
+    min_size: int = 3,
+    use_dilation: bool = False,
+) -> tuple[np.ndarray, list[float]]:
+    """One image's prob map (H,W) + shape [src_h,src_w,ratio_h,ratio_w]
+    → (boxes int32 (N,4,2) in source coords, scores).
+    """
+    src_h, src_w = int(shape[0]), int(shape[1])
+    seg = pred > thresh
+    if use_dilation:  # 2×2 kernel dilate (db_postprocess.py:54-55,230-233)
+        d = seg.copy()
+        d[1:, :] |= seg[:-1, :]
+        d[:, 1:] |= seg[:, :-1]
+        d[1:, 1:] |= seg[:-1, :-1]
+        seg = d
+    height, width = seg.shape
+    comps = connected_components(seg)[:max_candidates]
+
+    boxes, scores = [], []
+    for pts in comps:
+        rect, sside = min_area_rect(pts)
+        if sside < min_size:
+            continue
+        score = box_score_fast(pred, rect)
+        if score < box_thresh:
+            continue
+        grown, sside2 = unclip_rect(rect, unclip_ratio)
+        if sside2 < min_size + 2:
+            continue
+        out = grown.astype(np.float64)
+        out[:, 0] = np.clip(np.round(out[:, 0] / width * src_w), 0, src_w)
+        out[:, 1] = np.clip(np.round(out[:, 1] / height * src_h), 0, src_h)
+        boxes.append(out.astype(np.int32))
+        scores.append(score)
+    if not boxes:
+        return np.zeros((0, 4, 2), dtype=np.int32), []
+    return np.stack(boxes), scores

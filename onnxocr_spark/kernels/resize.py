@@ -1,0 +1,117 @@
+"""Resize kernels.
+
+Pure-numpy stand-ins for the cv2.resize-based preprocessing in the
+reference:
+
+- ``det_resize_for_test``: DetResizeForTest type-0 path
+  (/root/reference/onnxocr/operators.py:34-141): pad tiny images to
+  ≥32, cap the max side at ``limit_side_len`` (default 960,
+  utils.py:273-274), round H/W to multiples of 32, emit
+  [src_h, src_w, ratio_h, ratio_w].
+- ``cls_resize_norm``: TextClassifier.resize_norm_img
+  (/root/reference/onnxocr/predict_cls.py:22-42): resize h→48, width
+  by aspect capped at 192, /255 −0.5 /0.5, zero-pad right.
+- ``rec_resize_norm``: TextRecognizer.resize_norm_img SVTR_LCNet path
+  (/root/reference/onnxocr/predict_rec.py:54-80): like cls but target
+  width = int(48 · max_wh_ratio) from the batch aggregate.
+
+``bilinear_resize`` uses the half-pixel sampling convention of
+cv2.resize(INTER_LINEAR). The reference defaults to INTER_LINEAR for
+all resizes on the hot path (cv2.resize default); INTER_CUBIC appears
+only inside warpPerspective (crop.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def _axis_weights(dst: int, src: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    # half-pixel centers: x_src = (i + 0.5) * src/dst - 0.5
+    x = (np.arange(dst, dtype=np.float64) + 0.5) * (src / dst) - 0.5
+    x0 = np.floor(x).astype(np.int64)
+    frac = x - x0
+    lo = np.clip(x0, 0, src - 1)
+    hi = np.clip(x0 + 1, 0, src - 1)
+    return lo, hi, frac
+
+
+def bilinear_resize(img: np.ndarray, dst_w: int, dst_h: int) -> np.ndarray:
+    """Resize (H,W[,C]) array to (dst_h, dst_w[,C]); dtype preserved."""
+    src_h, src_w = img.shape[:2]
+    if dst_h == src_h and dst_w == src_w:
+        return img.copy()
+    y0, y1, fy = _axis_weights(dst_h, src_h)
+    x0, x1, fx = _axis_weights(dst_w, src_w)
+    a = img.astype(np.float32)
+    top = a[y0][:, x0] * (1 - fx)[None, :, None] + a[y0][:, x1] * fx[None, :, None] \
+        if a.ndim == 3 else a[y0][:, x0] * (1 - fx) + a[y0][:, x1] * fx
+    bot = a[y1][:, x0] * (1 - fx)[None, :, None] + a[y1][:, x1] * fx[None, :, None] \
+        if a.ndim == 3 else a[y1][:, x0] * (1 - fx) + a[y1][:, x1] * fx
+    fyc = fy[:, None, None] if a.ndim == 3 else fy[:, None]
+    out = top * (1 - fyc) + bot * fyc
+    if np.issubdtype(img.dtype, np.integer):
+        out = np.clip(np.rint(out), np.iinfo(img.dtype).min, np.iinfo(img.dtype).max)
+    return out.astype(img.dtype)
+
+
+def det_resize_for_test(
+    img: np.ndarray,
+    limit_side_len: float = 960.0,
+    limit_type: str = "max",
+) -> tuple[np.ndarray | None, np.ndarray]:
+    """Type-0 det resize. Returns (resized_img, [src_h,src_w,ratio_h,ratio_w])."""
+    src_h, src_w = img.shape[:2]
+    if src_h + src_w < 64:  # tiny-image padding (operators.py:56-58,72-76)
+        pad = np.zeros((max(32, src_h), max(32, src_w), img.shape[2]), img.dtype)
+        pad[:src_h, :src_w] = img
+        img = pad
+    h, w = img.shape[:2]
+
+    if limit_type == "max":
+        ratio = float(limit_side_len) / max(h, w) if max(h, w) > limit_side_len else 1.0
+    elif limit_type == "min":
+        ratio = float(limit_side_len) / min(h, w) if min(h, w) < limit_side_len else 1.0
+    elif limit_type == "resize_long":
+        ratio = float(limit_side_len) / max(h, w)
+    else:
+        raise ValueError(f"unsupported limit_type {limit_type!r}")
+
+    resize_h = max(int(round(int(h * ratio) / 32) * 32), 32)
+    resize_w = max(int(round(int(w * ratio) / 32) * 32), 32)
+    if resize_h <= 0 or resize_w <= 0:
+        return None, np.array([src_h, src_w, 1.0, 1.0])
+    out = bilinear_resize(img, resize_w, resize_h)
+    ratio_h = resize_h / float(h)
+    ratio_w = resize_w / float(w)
+    return out, np.array([src_h, src_w, ratio_h, ratio_w])
+
+
+def _resize_norm_pad(img: np.ndarray, img_c: int, img_h: int, img_w: int) -> np.ndarray:
+    """Shared cls/rec normalize: resize h→img_h keep aspect (cap img_w),
+    CHW, /255 −0.5 /0.5, zero-pad right to img_w."""
+    h, w = img.shape[:2]
+    ratio = w / float(h)
+    resized_w = img_w if math.ceil(img_h * ratio) > img_w else int(math.ceil(img_h * ratio))
+    resized = bilinear_resize(img, resized_w, img_h).astype(np.float32)
+    resized = resized.transpose((2, 0, 1)) / 255.0
+    resized -= 0.5
+    resized /= 0.5
+    out = np.zeros((img_c, img_h, img_w), dtype=np.float32)
+    out[:, :, :resized_w] = resized
+    return out
+
+
+def cls_resize_norm(img: np.ndarray, image_shape=(3, 48, 192)) -> np.ndarray:
+    c, h, w = image_shape
+    return _resize_norm_pad(img, c, h, w)
+
+
+def rec_resize_norm(
+    img: np.ndarray, max_wh_ratio: float, image_shape=(3, 48, 320)
+) -> np.ndarray:
+    c, img_h, _ = image_shape
+    img_w = int(img_h * max_wh_ratio)
+    return _resize_norm_pad(img, c, img_h, img_w)
