@@ -1,38 +1,604 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship OCR-extraction job on sf0.001.
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (+ the training-data-pipeline ops); ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for every SQL-expressible one. Column names
+and types are aligned on both sides (aggregates aliased identically,
+doubles rounded, sums cast) so the driver's order-insensitive
+value-hash comparison is meaningful.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _register(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).createOrReplaceTempView(t)
+
+
+def _derived_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from onnxocr_spark.operators.spans_derive import derive_documents
+
+    _register(spark, sf_dir)
+    return derive_documents(spark.table("documents"))
+
+
+def _extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from onnxocr_spark.pipeline import run_extract
+
+    return run_extract(_derived_docs(spark, sf_dir))
+
+
+def _extract_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _extract(spark, sf_dir)
+    return out.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.offset").cast("bigint").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: interleaved-span extraction over sf0.001-derived docs."""
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
+    return _extract(spark, "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------------
+# Query battery. Each entry: name -> (spark, sf_dir) -> DataFrame.
+# SQL-expressible ones have a same-named DuckDB oracle in oracle_sql().
+# --------------------------------------------------------------------------
+
+def _sqlq(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+# ---- OCR pipeline surface (SURVEY.md §2.1-2.6) ----------------------------
+
+def q_ocr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _extract(spark, sf_dir)
+
+
+def q_ocr_text_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _extract_flat(spark, sf_dir).filter("kind = 'text'").select(
+        "doc_id", "offset", "text"
+    )
+
+
+def q_ocr_media_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _extract_flat(spark, sf_dir).filter("kind = 'media'").select(
+        "doc_id", "offset", "media_ref"
+    )
+
+
+def q_ocr_media_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _extract_flat(spark, sf_dir).filter("kind = 'media'").select(
+        "doc_id", "offset", "text"
+    )
+
+
+def q_ocr_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from onnxocr_spark.pipeline import ocr_metrics
+
+    return ocr_metrics(_derived_docs(spark, sf_dir))
+
+
+# ---- relational skeleton (explode/restitch/windows/joins) -----------------
+
+_EXPLODE_SPARK = """
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok
+FROM documents LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok
+"""
+_EXPLODE_DUCK = """
+SELECT doc_id,
+       CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS pos,
+       unnest(string_split(text, ' ')) AS tok
+FROM documents
+"""
+
+_RESTITCH_SPARK = """
+SELECT source,
+       concat_ws('\\n\\n',
+         transform(array_sort(collect_list(struct(doc_id, text))),
+                   s -> s.text)) AS merged,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source
+"""
+_RESTITCH_DUCK = """
+SELECT source,
+       string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS merged,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source
+"""
+
+# CTC-decode relational analog (SURVEY.md §2.5 R4): per user_id stream
+# ordered by (ts, event_id): drop adjacent duplicate event_type (lag
+# window), drop the 'error' type (blank analog), reassemble + mean conf.
+_CTC_SHARED = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+kept AS (
+  SELECT * FROM seq
+  WHERE (prev IS NULL OR event_type <> prev) AND event_type <> 'error'
+)
+SELECT user_id,
+       {agg} AS decoded,
+       ROUND(AVG(value), 4) AS conf,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM kept GROUP BY user_id
+"""
+_CTC_SPARK = _CTC_SHARED.format(
+    agg="concat_ws('>', transform(array_sort(collect_list(struct(ts, event_id, "
+    "event_type))), s -> s.event_type))"
+)
+_CTC_DUCK = _CTC_SHARED.format(
+    agg="string_agg(event_type, '>' ORDER BY ts, event_id)"
+)
+
+_DROP_SCORE = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(SUM(l_extendedprice), 2) AS revenue
+FROM lineitem WHERE l_quantity / 50.0 >= 0.5
+GROUP BY l_returnflag
+"""
+
+_READING_ORDER = """
+SELECT event_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY user_id % 100, value, event_id) AS BIGINT) AS rank
+FROM events
+ORDER BY rank LIMIT 500
+"""
+
+_ANTI_JOIN_SPARK = """
+SELECT d.doc_id FROM documents d
+LEFT ANTI JOIN (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) c
+ON d.doc_id = c.doc_id
+"""
+_ANTI_JOIN_DUCK = """
+SELECT doc_id FROM documents
+WHERE NOT EXISTS (SELECT 1 FROM documents c
+                  WHERE c.doc_id % 3 = 0 AND c.doc_id = documents.doc_id)
+"""
+
+# A1 zip analog: carried-key equi-join of two pipeline stages
+_ZIP_JOIN = """
+SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS line_no,
+       o.o_orderpriority, ROUND(l.l_extendedprice, 2) AS price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'F'
+"""
+
+_MEAN_CONF = """
+SELECT event_type, ROUND(AVG(value), 4) AS mean_conf,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+# D10 max_candidates analog: per-group top-1000 guard
+_MAX_CAND = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS kept,
+       ROUND(SUM(value), 2) AS mass
+FROM ranked WHERE rn <= 1000 GROUP BY event_type
+"""
+
+# R1 batch-max aggregate analog: windows of 6 by sorted ratio
+_BATCH_MAX = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) - 1 AS rn
+  FROM events
+),
+batches AS (
+  SELECT event_type, CAST(FLOOR(rn / 6.0) AS BIGINT) AS batch_id, MAX(value) AS batch_max
+  FROM ranked GROUP BY event_type, CAST(FLOOR(rn / 6.0) AS BIGINT)
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_batches,
+       ROUND(AVG(batch_max), 4) AS avg_batch_max
+FROM batches GROUP BY event_type
+"""
+
+_TUMBLING_SPARK = """
+SELECT date_format(ts, 'yyyy-MM-dd') AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total
+FROM events GROUP BY date_format(ts, 'yyyy-MM-dd'), event_type
+"""
+_TUMBLING_DUCK = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total
+FROM events GROUP BY strftime(ts, '%Y-%m-%d'), event_type
+"""
+
+# ---- headline analytics ----------------------------------------------------
+
+_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_Q3 = """
+SELECT o.o_orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus <> 'F'
+GROUP BY o.o_orderkey, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+"""
+
+# ---- OCR structure oracles (share the derivation CTE) ----------------------
+
+from onnxocr_spark.operators.spans_derive import DERIVE_SQL_CTE  # noqa: E402
+
+_PASSTHROUGH_DUCK = DERIVE_SQL_CTE + """
+SELECT printf('doc_%012d', doc_id) AS doc_id,
+       CAST(k + pre AS BIGINT) AS offset,
+       chunk AS text
+FROM p
+"""
+
+_MEDIA_STRUCT_DUCK = DERIVE_SQL_CTE + """
+SELECT printf('doc_%012d', doc_id) AS doc_id,
+       CAST(k + pre + 1 AS BIGINT) AS offset,
+       'img://' || printf('doc_%012d', doc_id) || '/' ||
+         CAST(k + pre + 1 AS VARCHAR) AS media_ref
+FROM p WHERE m = 1
+"""
+
+# ---- training-data pipeline ops -------------------------------------------
+
+_DEDUP_EXACT_SPARK = """
+SELECT md5(concat_ws(' ', slice(split(text, ' '), 1, 4))) AS fp,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+_DEDUP_EXACT_DUCK = """
+SELECT md5(array_to_string((string_split(text, ' '))[1:4], ' ')) AS fp,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+# MinHash signatures: 16 hash seeds over token 3-gram shingles.
+_MINHASH_SPARK = """
+WITH toks AS (
+  SELECT doc_id, pos, tok
+  FROM documents LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok
+),
+tri AS (
+  SELECT a.doc_id, concat(a.tok, ' ', b.tok, ' ', c.tok) AS shingle
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+),
+seeds AS (SELECT explode(sequence(0, 15)) AS seed)
+SELECT tri.doc_id, CAST(seed AS BIGINT) AS seed,
+       MIN(md5(concat(CAST(seed AS STRING), ':', shingle))) AS minhash
+FROM tri CROSS JOIN seeds
+GROUP BY tri.doc_id, seed
+"""
+_MINHASH_DUCK = """
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+tri AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+)
+SELECT tri.doc_id, CAST(s.seed AS BIGINT) AS seed,
+       MIN(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS minhash
+FROM tri CROSS JOIN generate_series(0, 15) s(seed)
+GROUP BY tri.doc_id, s.seed
+"""
+
+# LSH candidate pairs: 4 bands × 4 rows; pair when any band signature matches.
+_LSH_TEMPLATE = """
+, sig AS ({minhash})
+, bands AS (
+  SELECT doc_id, CAST(FLOOR(seed / 4.0) AS BIGINT) AS band,
+         {bandagg} AS band_sig
+  FROM sig GROUP BY doc_id, CAST(FLOOR(seed / 4.0) AS BIGINT)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+"""
+_LSH_SPARK = (
+    "WITH _x AS (SELECT 1)"
+    + _LSH_TEMPLATE.format(
+        minhash=_MINHASH_SPARK.strip(),
+        bandagg="concat_ws('|', transform(array_sort(collect_list(struct(seed, "
+        "minhash))), s -> s.minhash))",
+    )
+)
+_LSH_DUCK = (
+    "WITH _x AS (SELECT 1)"
+    + _LSH_TEMPLATE.format(
+        minhash=_MINHASH_DUCK.strip(),
+        bandagg="string_agg(minhash, '|' ORDER BY seed)",
+    )
+)
+
+# SimHash: 48-bit fingerprint from token hashes (hex-prefix of md5).
+_SIMHASH_SPARK = """
+WITH toks AS (
+  SELECT doc_id, tok,
+         CAST(conv(substring(md5(tok), 1, 12), 16, 10) AS BIGINT) AS h
+  FROM documents LATERAL VIEW explode(split(text, ' ')) t AS tok
+),
+bits AS (SELECT explode(sequence(0, 47)) AS b),
+votes AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+  FROM toks CROSS JOIN bits GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+_SIMHASH_DUCK = """
+WITH toks AS (
+  SELECT doc_id, tok, ('0x' || substr(md5(tok), 1, 12))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+votes AS (
+  SELECT doc_id, b.b,
+         SUM(CASE WHEN ((h >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+  FROM toks CROSS JOIN generate_series(0, 47) b(b) GROUP BY doc_id, b.b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+# n-gram Jaccard near-dup pairs over distinct trigram sets.
+_JACCARD_TEMPLATE = """
+WITH toks AS ({toks}),
+tri AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c
+  FROM tri x JOIN tri y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5
+"""
+_TOKS_SPARK = (
+    "SELECT doc_id, pos, tok FROM documents "
+    "LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok"
+)
+_TOKS_DUCK = (
+    "SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) - 1 AS pos, "
+    "unnest(string_split(text, ' ')) AS tok FROM documents"
+)
+_JACCARD_SPARK = _JACCARD_TEMPLATE.format(toks=_TOKS_SPARK)
+_JACCARD_DUCK = _JACCARD_TEMPLATE.format(toks=_TOKS_DUCK)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 10 vectors.
+    Output is ids+rank only (ints) to stay robust to float formatting."""
+    _register(spark, sf_dir)
+    emb = spark.table("embeddings")
+    q = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "embedding", lambda a, b: a * b),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot / (norm(F.col("qe")) * norm(F.col("embedding")))).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 5")
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+_COSINE_DUCK = """
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.embedding, b.embedding) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id <> a.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+_LANG_ID = """
+SELECT CASE
+         WHEN text LIKE '% the %' OR text LIKE 'the %' THEN 'en'
+         WHEN text LIKE '% der %' OR text LIKE '% und %' THEN 'de'
+         ELSE 'unk'
+       END AS lang_pred,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY 1
+"""
+
+_QUALITY_SPARK = """
+SELECT doc_id,
+       CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+       ROUND(CAST(length(text) - (size(split(text, ' ')) - 1) AS DOUBLE)
+             / size(split(text, ' ')), 4) AS avg_token_len,
+       (size(split(text, ' ')) BETWEEN 5 AND 1000) AS is_quality
+FROM documents
+"""
+_QUALITY_DUCK = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       ROUND(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS avg_token_len,
+       (len(string_split(text, ' ')) BETWEEN 5 AND 1000) AS is_quality
+FROM documents
+"""
+
+_TOKEN_COUNT_SPARK = """
+SELECT doc_id,
+       CAST(regexp_count(text, '[A-Za-z]+') AS BIGINT) AS n_alpha,
+       CAST(regexp_count(text, '[0-9]+') AS BIGINT) AS n_num
+FROM documents
+"""
+_TOKEN_COUNT_DUCK = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num
+FROM documents
+"""
+
+_FINGERPRINT = """
+SELECT doc_id, md5(lower(text)) AS fp FROM documents
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # OCR pipeline (rows-only where OCR text is not SQL-derivable)
+        "ocr_extract": q_ocr_extract,
+        "ocr_text_passthrough": q_ocr_text_passthrough,
+        "ocr_media_structure": q_ocr_media_structure,
+        "ocr_media_text": q_ocr_media_text,
+        "ocr_metrics": q_ocr_metrics,
+        # relational skeleton
+        "explode_tokens": _sqlq(_EXPLODE_SPARK),
+        "restitch_docs": _sqlq(_RESTITCH_SPARK),
+        "ctc_dedupe_analog": _sqlq(_CTC_SPARK),
+        "drop_score_filter": _sqlq(_DROP_SCORE),
+        "reading_order_topk": _sqlq(_READING_ORDER),
+        "resume_anti_join": _sqlq(_ANTI_JOIN_SPARK),
+        "boxes_texts_zip": _sqlq(_ZIP_JOIN),
+        "mean_confidence": _sqlq(_MEAN_CONF),
+        "max_candidates_limit": _sqlq(_MAX_CAND),
+        "batch_max_ratio": _sqlq(_BATCH_MAX),
+        "tumbling_window_daily": _sqlq(_TUMBLING_SPARK),
+        # headline analytics
+        "q1_pricing_summary": _sqlq(_Q1),
+        "q3_top_orders": _sqlq(_Q3),
+        # training-data pipeline ops
+        "dedup_exact": _sqlq(_DEDUP_EXACT_SPARK),
+        "dedup_minhash_sig": _sqlq(_MINHASH_SPARK),
+        "dedup_minhash_lsh_pairs": _sqlq(_LSH_SPARK),
+        "dedup_simhash": _sqlq(_SIMHASH_SPARK),
+        "ngram_jaccard_pairs": _sqlq(_JACCARD_SPARK),
+        "embedding_cosine_topk": q_cosine_topk,
+        "lang_id": _sqlq(_LANG_ID),
+        "quality_score": _sqlq(_QUALITY_SPARK),
+        "token_count": _sqlq(_TOKEN_COUNT_SPARK),
+        "doc_fingerprint": _sqlq(_FINGERPRINT),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "ocr_text_passthrough": _PASSTHROUGH_DUCK,
+        "ocr_media_structure": _MEDIA_STRUCT_DUCK,
+        "explode_tokens": _EXPLODE_DUCK,
+        "restitch_docs": _RESTITCH_DUCK,
+        "ctc_dedupe_analog": _CTC_DUCK,
+        "drop_score_filter": _DROP_SCORE,
+        "reading_order_topk": _READING_ORDER,
+        "resume_anti_join": _ANTI_JOIN_DUCK,
+        "boxes_texts_zip": _ZIP_JOIN,
+        "mean_confidence": _MEAN_CONF,
+        "max_candidates_limit": _MAX_CAND,
+        "batch_max_ratio": _BATCH_MAX,
+        "tumbling_window_daily": _TUMBLING_DUCK,
+        "q1_pricing_summary": _Q1,
+        "q3_top_orders": _Q3,
+        "dedup_exact": _DEDUP_EXACT_DUCK,
+        "dedup_minhash_sig": _MINHASH_DUCK,
+        "dedup_minhash_lsh_pairs": _LSH_DUCK,
+        "dedup_simhash": _SIMHASH_DUCK,
+        "ngram_jaccard_pairs": _JACCARD_DUCK,
+        "embedding_cosine_topk": _COSINE_DUCK,
+        "lang_id": _LANG_ID,
+        "quality_score": _QUALITY_DUCK,
+        "token_count": _TOKEN_COUNT_DUCK,
+        "doc_fingerprint": _FINGERPRINT,
+    }

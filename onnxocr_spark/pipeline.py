@@ -1,0 +1,144 @@
+"""The end-to-end extraction job (SURVEY.md §7.1).
+
+    documents(doc_id, spans array<struct<kind,text,media_ref,offset>>)
+      │ posexplode(spans)
+      ├─ kind='text'  ───────────── pass through ───────────────┐
+      ▼ kind='media'                                            │
+    salted repartition (deterministic salt from media_ref)      │
+      ▼ mapInPandas(ocr_media) — per-executor model sessions    │
+    (doc_id, offset, 'media', media_ref, text=OCR)──────────────┤
+                                                                ▼
+        unionByName → groupBy(doc_id)
+        → sort_array(collect_list(struct(offset, …)))  (explicit order:
+          collect_list order is NOT guaranteed after shuffles)
+        → spans array in the exact input field order
+
+Scale notes (local[32] here; designed for 1000 executors / 100 TB):
+- Pixels never cross a shuffle: media stays a reference through the
+  salted repartition; decode happens inside the UDF; only text + small
+  metadata flow out.
+- Skew: heavy-media docs are spread across tasks by salting on
+  xxhash64(media_ref) — a pure function, so retries are deterministic
+  and reassembly (keyed by doc_id+offset) is unaffected. AQE cannot see
+  UDF-stage cost, hence the explicit repartition.
+- The final groupBy(doc_id) shuffles only recognized text (~KB/doc).
+- Text spans take the short path: no UDF, no extra shuffle before the
+  reassembly shuffle they need anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from onnxocr_spark.config import PipelineConfig, DEFAULT_CONFIG
+from onnxocr_spark.operators.ocr_media import OCR_OUTPUT_SCHEMA, make_ocr_media_fn
+
+SPAN_FIELDS = ("kind", "text", "media_ref", "offset")
+
+
+def explode_spans(docs: DataFrame) -> DataFrame:
+    """documents → one row per span (doc_id, pos, kind, text, media_ref, offset)."""
+    return docs.select(
+        "doc_id", F.posexplode("spans").alias("pos", "span")
+    ).select("doc_id", "pos", "span.*")
+
+
+def ocr_media_spans(media: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """media-span rows → OCR'd rows (doc_id, offset, media_ref, text, …)."""
+    n_part = cfg.ocr_partitions or media.sparkSession.sparkContext.defaultParallelism * 2
+    salted = media.repartition(
+        n_part,
+        "doc_id",
+        F.pmod(F.xxhash64("media_ref"), F.lit(cfg.salt_buckets)).alias("salt"),
+    )
+    cols = ["doc_id", "offset", "media_ref"] + (
+        ["media_bytes"] if "media_bytes" in media.columns else []
+    )
+    return salted.select(*cols).mapInPandas(make_ocr_media_fn(cfg), OCR_OUTPUT_SCHEMA)
+
+
+def reassemble(spans: DataFrame) -> DataFrame:
+    """span rows → documents, array ordered by offset, original field order."""
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+            ).alias("_spans")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                "_spans",
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ).alias("spans"),
+        )
+    )
+
+
+def run_extract(
+    docs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Full job: interleaved documents in → same shape out with media
+    spans' text replaced by OCR results. Failed media yields text=''
+    (the span survives with kind/media_ref/offset intact)."""
+    spans = explode_spans(docs)
+    text_rows = spans.filter(F.col("kind") != "media").select(
+        "doc_id", "kind", "text", "media_ref", "offset"
+    )
+    media_rows = spans.filter(F.col("kind") == "media")
+    ocrd = ocr_media_spans(media_rows, cfg).select(
+        "doc_id",
+        F.lit("media").alias("kind"),
+        "text",
+        "media_ref",
+        "offset",
+    )
+    return reassemble(text_rows.unionByName(ocrd))
+
+
+def ocr_metrics(docs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Per-partition-free metrics aggregate over the OCR stage output:
+    media spans, failures, boxes, chars (the reference's latency/progress
+    counters, app/engine.py:131-135, re-expressed as one agg)."""
+    spans = explode_spans(docs)
+    media_rows = spans.filter(F.col("kind") == "media")
+    out = ocr_media_spans(media_rows, cfg)
+    return out.agg(
+        F.count("*").alias("media_spans"),
+        F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("failures"),
+        F.sum("n_boxes").alias("boxes"),
+        F.sum(F.length("text")).alias("chars"),
+    )
+
+
+def build_session(
+    app_name: str = "onnxocr-spark",
+    master: str | None = None,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Session tuned for the extraction workload. On a real cluster the
+    same confs ship via spark-submit; Arrow batches are kept small
+    because rows can carry image bytes."""
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
+    b = (
+        b.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(cfg.arrow_max_records),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.python.worker.reuse", "true")
+    )
+    if shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return b.getOrCreate()

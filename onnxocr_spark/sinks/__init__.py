@@ -1,0 +1,5 @@
+from onnxocr_spark.sinks.ledger import (  # noqa: F401
+    write_with_ledger,
+    committed_doc_ids,
+    pending_documents,
+)

@@ -1,0 +1,17 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from onnxocr_spark.pipeline import build_session
+
+    spark = build_session(
+        app_name="onnxocr-spark-tests", master="local[4]", shuffle_partitions=8
+    )
+    yield spark
+    spark.stop()

@@ -1,0 +1,77 @@
+"""Pin the driver contract: entry() smoke + Spark/DuckDB oracle parity
+for a fast representative subset (the full battery runs via
+tools/check_oracles.py)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as em
+
+SF = "/root/testdata/sf0.001"
+
+FAST_ORACLE_QUERIES = [
+    "explode_tokens",
+    "restitch_docs",
+    "ctc_dedupe_analog",
+    "drop_score_filter",
+    "resume_anti_join",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "dedup_exact",
+    "dedup_simhash",
+    "embedding_cosine_topk",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
+]
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(6)
+        elif str(df[c].dtype) == "bool":
+            df[c] = df[c].astype(int)
+        elif "int" in str(df[c].dtype).lower():
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in em.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_every_oracle_has_a_query():
+    qs, os_ = em.queries(), em.oracle_sql()
+    assert set(os_) <= set(qs)
+    # the battery is substantial: ≥20 operators, ≥80% oracle-covered
+    assert len(qs) >= 20
+    assert len(os_) / len(qs) >= 0.8
+
+
+@pytest.mark.parametrize("name", FAST_ORACLE_QUERIES)
+def test_oracle_parity(spark, duck, name):
+    sdf = em.queries()[name](spark, SF).toPandas()
+    odf = duck.execute(em.oracle_sql()[name]).fetchdf()
+    a, b = _normalize(sdf), _normalize(odf)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_entry_smoke(spark):
+    df = em.entry(spark)
+    assert df.count() > 0
+    fields = [f.name for f in df.schema["spans"].dataType.elementType.fields]
+    assert fields == ["kind", "text", "media_ref", "offset"]

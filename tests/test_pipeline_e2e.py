@@ -1,0 +1,106 @@
+"""E2E Spark extraction: span-sequence equality (kind, text, media_ref,
+order) vs the analytic expected output — the BASELINE.json invariant."""
+
+import os
+
+import pytest
+
+from onnxocr_spark.datagen.documents import (
+    generate_documents,
+    expected_output_rows,
+    write_documents_parquet,
+)
+from onnxocr_spark.pipeline import run_extract, explode_spans, reassemble
+from onnxocr_spark.config import PipelineConfig
+
+
+N_DOCS = 64  # includes no-media docs; doc index 96 (heavy) covered in bench
+
+
+def _spans_key(rows):
+    """{doc_id: [(kind, text, media_ref, offset), …] ordered by offset}"""
+    out = {}
+    for r in rows:
+        spans = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in sorted(r["spans"], key=lambda s: s["offset"])
+        ]
+        out[r["doc_id"]] = spans
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("docs") / "documents.parquet")
+    write_documents_parquet(path, N_DOCS)
+    return spark.read.parquet(path)
+
+
+def test_span_sequence_equality(spark, docs_df):
+    out = run_extract(docs_df)
+    got = _spans_key([r.asDict(recursive=True) for r in out.collect()])
+    exp = _spans_key(expected_output_rows(N_DOCS))
+    assert set(got) == set(exp)
+    mismatches = [d for d in exp if got[d] != exp[d]]
+    assert mismatches == [], f"span mismatch in {mismatches[:3]}"
+
+
+def test_output_schema_matches_input(spark, docs_df):
+    out = run_extract(docs_df)
+    assert [f.name for f in out.schema["spans"].dataType.elementType.fields] == [
+        "kind",
+        "text",
+        "media_ref",
+        "offset",
+    ]
+    assert dict(out.dtypes)["doc_id"] == "string"
+
+
+def test_bad_media_ref_survives(spark):
+    docs = spark.createDataFrame(
+        [
+            (
+                "doc_bad",
+                [
+                    {"kind": "text", "text": "hello", "media_ref": "", "offset": 0},
+                    {"kind": "media", "text": "", "media_ref": "bogus://x", "offset": 1},
+                ],
+            )
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    [row] = run_extract(docs).collect()
+    spans = sorted(row.spans, key=lambda s: s.offset)
+    assert spans[0].text == "hello"
+    # failed media: span survives with empty text, ref/kind/order intact
+    assert spans[1].kind == "media"
+    assert spans[1].media_ref == "bogus://x"
+    assert spans[1].text == ""
+
+
+def test_explode_reassemble_roundtrip(spark, docs_df):
+    """reassemble(explode(docs)) == docs (no OCR) — ordering guarantee."""
+    spans = explode_spans(docs_df).select("doc_id", "kind", "text", "media_ref", "offset")
+    back = reassemble(spans)
+    got = _spans_key([r.asDict(recursive=True) for r in back.collect()])
+    exp = _spans_key(generate_documents(N_DOCS))
+    assert got == exp
+
+
+def test_resume_anti_join(spark, docs_df, tmp_path):
+    from onnxocr_spark.sinks import write_with_ledger, pending_documents
+
+    root = str(tmp_path / "out")
+    # commit first half
+    first = docs_df.filter("doc_id < 'doc_000000000032'")
+    write_with_ledger(run_extract(first), root, run_id="r1")
+    pending = pending_documents(docs_df, root)
+    assert pending.count() == N_DOCS - 32
+    # second run commits the rest; nothing pending afterwards
+    write_with_ledger(run_extract(pending), root, run_id="r2")
+    assert pending_documents(docs_df, root).count() == 0
+    # full output equals expectation
+    out = spark.read.parquet(os.path.join(root, "data"))
+    got = _spans_key([r.asDict(recursive=True) for r in out.collect()])
+    exp = _spans_key(expected_output_rows(N_DOCS))
+    assert got == exp
