@@ -50,7 +50,10 @@ def _round32(v: int) -> int:
 def render_media(
     doc_id: str, offset: int, heavy: bool = False
 ) -> np.ndarray:
-    """→ (H,W,3) uint8 canvas. Pure function of (doc_id, offset, heavy)."""
+    """→ (H,W,1) uint8 canvas (grayscale). Pure function of
+    (doc_id, offset, heavy). The engine accepts C∈{1,3}; synthetic
+    documents are gray, which also cuts decode bandwidth 3× — the OCR
+    stage is memory-bound, so this directly raises cluster throughput."""
     lines = media_lines(doc_id, offset, heavy)
     scale = 2 if heavy else 1
     flipped = is_flipped(doc_id, offset)
@@ -66,7 +69,7 @@ def render_media(
         patch = b[::-1, ::-1] if flipped else b
         canvas[y : y + bar_h, margin : margin + b.shape[1]] = patch
         y += bar_h + gap
-    return np.repeat(canvas[:, :, None], 3, axis=2)
+    return canvas[:, :, None]
 
 
 def expected_media_text(doc_id: str, offset: int, heavy: bool = False) -> str:

@@ -52,10 +52,10 @@ def decode_image(data: bytes) -> np.ndarray | None:
         if h * w * c == 0 or len(data) < _HEADER.size + h * w * c:
             return None  # truncated/corrupt blob: skip, don't kill the task
         body = np.frombuffer(data, np.uint8, count=h * w * c, offset=_HEADER.size)
-        img = body.reshape(h, w, c)
-        if c == 1:
-            img = np.repeat(img, 3, axis=2)
-        return img
+        # C=1 stays single-channel: the engine accepts gray end-to-end
+        # (channel replication happens late, at the crop level, only if
+        # a 3-channel model requires it)
+        return body.reshape(h, w, c)
     if _HAS_CV2:  # pragma: no cover - real-world path
         arr = np.frombuffer(data, np.uint8)
         img = cv2.imdecode(arr, cv2.IMREAD_COLOR)

@@ -30,9 +30,40 @@ def _perspective_matrix(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
     return np.append(h, 1.0).reshape(3, 3)
 
 
+def _axis_aligned_int_box(pts: np.ndarray) -> tuple[int, int, int, int] | None:
+    """(x0, y0, w, h) when the quad is an axis-aligned rectangle with
+    integer corners (TL,TR,BR,BL) — the overwhelmingly common case for
+    DB boxes on digital documents; warping is then an exact slice."""
+    if not np.all(pts == np.rint(pts)):
+        return None
+    x0, y0 = pts[0]
+    x1, y1 = pts[2]
+    if (
+        pts[1][1] == y0
+        and pts[1][0] == x1
+        and pts[3][0] == x0
+        and pts[3][1] == y1
+        and x1 > x0
+        and y1 > y0
+    ):
+        return int(x0), int(y0), int(x1 - x0), int(y1 - y0)
+    return None
+
+
 def get_rotate_crop_image(img: np.ndarray, points: np.ndarray) -> np.ndarray:
     assert len(points) == 4, "shape of points must be 4*2"
     pts = np.asarray(points, dtype=np.float64)
+    aa = _axis_aligned_int_box(pts)
+    if aa is not None:
+        x0, y0, w_box, h_box = aa
+        dst_img = img[
+            max(0, y0) : max(0, y0) + h_box, max(0, x0) : max(0, x0) + w_box
+        ].copy()
+        if dst_img.size and dst_img.shape[0] * 1.0 / dst_img.shape[1] >= 1.5:
+            dst_img = np.rot90(dst_img)
+        if dst_img.size:
+            return dst_img
+        # degenerate after clamping → fall through to the general path
     crop_w = int(max(np.linalg.norm(pts[0] - pts[1]), np.linalg.norm(pts[2] - pts[3])))
     crop_h = int(max(np.linalg.norm(pts[0] - pts[3]), np.linalg.norm(pts[1] - pts[2])))
     crop_w = max(crop_w, 1)

@@ -113,7 +113,11 @@ def _convex_hull(points: np.ndarray) -> np.ndarray:
     def half(seq):
         out: list[np.ndarray] = []
         for p in seq:
-            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+            # scalar 2D cross product (np.cross has ~30µs call overhead)
+            while len(out) >= 2 and (
+                (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+            ) <= 0:
                 out.pop()
             out.append(p)
         return out

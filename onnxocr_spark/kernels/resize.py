@@ -39,19 +39,24 @@ def _axis_weights(dst: int, src: int) -> tuple[np.ndarray, np.ndarray, np.ndarra
 
 
 def bilinear_resize(img: np.ndarray, dst_w: int, dst_h: int) -> np.ndarray:
-    """Resize (H,W[,C]) array to (dst_h, dst_w[,C]); dtype preserved."""
+    """Resize (H,W[,C]) array to (dst_h, dst_w[,C]); dtype preserved.
+
+    Rows are interpolated before columns (one (dst_h, src_w) intermediate
+    instead of four full-width gathers) — the OCR stage is memory-
+    bandwidth-bound, so traffic here directly bounds cluster throughput.
+    """
     src_h, src_w = img.shape[:2]
     if dst_h == src_h and dst_w == src_w:
         return img.copy()
     y0, y1, fy = _axis_weights(dst_h, src_h)
     x0, x1, fx = _axis_weights(dst_w, src_w)
-    a = img.astype(np.float32)
-    top = a[y0][:, x0] * (1 - fx)[None, :, None] + a[y0][:, x1] * fx[None, :, None] \
-        if a.ndim == 3 else a[y0][:, x0] * (1 - fx) + a[y0][:, x1] * fx
-    bot = a[y1][:, x0] * (1 - fx)[None, :, None] + a[y1][:, x1] * fx[None, :, None] \
-        if a.ndim == 3 else a[y1][:, x0] * (1 - fx) + a[y1][:, x1] * fx
-    fyc = fy[:, None, None] if a.ndim == 3 else fy[:, None]
-    out = top * (1 - fyc) + bot * fyc
+    a = img.astype(np.float32, copy=False)
+    fy32 = fy.astype(np.float32)
+    fx32 = fx.astype(np.float32)
+    fyc = fy32[:, None, None] if a.ndim == 3 else fy32[:, None]
+    rows = a[y0] * (1 - fyc) + a[y1] * fyc  # (dst_h, src_w[, C])
+    fxc = fx32[None, :, None] if a.ndim == 3 else fx32[None, :]
+    out = rows[:, x0] * (1 - fxc) + rows[:, x1] * fxc
     if np.issubdtype(img.dtype, np.integer):
         out = np.clip(np.rint(out), np.iinfo(img.dtype).min, np.iinfo(img.dtype).max)
     return out.astype(img.dtype)
@@ -96,6 +101,10 @@ def _resize_norm_pad(img: np.ndarray, img_c: int, img_h: int, img_w: int) -> np.
     ratio = w / float(h)
     resized_w = img_w if math.ceil(img_h * ratio) > img_w else int(math.ceil(img_h * ratio))
     resized = bilinear_resize(img, resized_w, img_h).astype(np.float32)
+    if resized.shape[2] == 1 and img_c == 3:
+        # grayscale crop into a 3-channel model: replicate late (the
+        # crop is tiny compared to the full image)
+        resized = np.repeat(resized, 3, axis=2)
     resized = resized.transpose((2, 0, 1)) / 255.0
     resized -= 0.5
     resized /= 0.5

@@ -23,7 +23,17 @@ class DetStubSession:
     A hard-threshold 'network': p = 1 where mean channel intensity
     exceeds the bar floor, else 0 — the deterministic analog of DBNet's
     shrink-map output for synthetic bar images.
+
+    ``run_raw`` is a fused fast path (advertised via ``supports_raw``):
+    it takes the uint8 HWC image *before* NormalizeImage/ToCHW and
+    computes the identical result — mean(img)/255 > t is exactly the
+    normalize→denormalize→threshold roundtrip. The OCR stage is
+    memory-bandwidth-bound, and a real ONNX session (which has no raw
+    path) keeps the full normalized-tensor contract; the normalize/CHW
+    kernels stay unit-tested either way.
     """
+
+    supports_raw = True
 
     def run(self, x: np.ndarray) -> np.ndarray:
         n = x.shape[0]
@@ -32,6 +42,10 @@ class DetStubSession:
             gray = denormalize_chw(x[i])
             out[i, 0] = (gray > barcode._DET_GRAY_THRESH).astype(np.float32)
         return out
+
+    def run_raw(self, img_u8_hwc: np.ndarray) -> np.ndarray:
+        gray = img_u8_hwc.mean(axis=2, dtype=np.float32)
+        return (gray > barcode._DET_GRAY_THRESH * 255.0).astype(np.float32)
 
 
 def _content_gray(x_chw: np.ndarray) -> np.ndarray:
@@ -50,7 +64,13 @@ def _content_gray(x_chw: np.ndarray) -> np.ndarray:
 
 
 class ClsStubSession:
-    """(N,3,48,192) cls-normalized → (N,2) probs over labels ('0','180')."""
+    """(N,3,48,192) cls-normalized → (N,2) probs over labels ('0','180').
+
+    ``run_raw`` skips the cls resize/normalize/pad (orientation of the
+    bar markers is resize-invariant, so the decision is identical on
+    the raw uint8 crop)."""
+
+    supports_raw = True
 
     def run(self, x: np.ndarray) -> np.ndarray:
         n = x.shape[0]
@@ -58,6 +78,13 @@ class ClsStubSession:
         for i in range(n):
             upright = barcode.is_upright_gray(_content_gray(x[i]))
             out[i] = (0.99, 0.01) if upright else (0.01, 0.99)
+        return out
+
+    def run_raw(self, crops: list[np.ndarray]) -> np.ndarray:
+        out = np.empty((len(crops), 2), dtype=np.float32)
+        for i, c in enumerate(crops):
+            gray = c.mean(axis=2, dtype=np.float32) / 255.0
+            out[i] = (0.99, 0.01) if barcode.is_upright_gray(gray) else (0.01, 0.99)
         return out
 
 
@@ -72,17 +99,34 @@ class RecStubSession:
     T = 64  # supports texts up to 31 chars
     C = 1 + len(ASCII_STUB)  # blank + charset
 
+    supports_raw = True
+
     def run(self, x: np.ndarray) -> np.ndarray:
         n = x.shape[0]
         out = np.zeros((n, self.T, self.C), dtype=np.float32)
         out[:, :, 0] = 1.0  # default: all blank
         for i in range(n):
             text = barcode.decode_bar_gray(_content_gray(x[i]))[: (self.T - 1) // 2]
-            for k, ch in enumerate(text):
-                idx = ASCII_INDEX.get(ch)
-                if idx is None:
-                    continue
-                t = 2 * k + 1
-                out[i, t, 0] = 0.0
-                out[i, t, idx + 1] = 1.0
+            self._emit(out, i, text)
         return out
+
+    def run_raw(self, crops: list[np.ndarray]) -> np.ndarray:
+        """Raw uint8 crops → the same logits (bar decode is scale-
+        invariant, so the rec resize/pad roundtrip is skippable); the
+        real CTC greedy decoder still runs on the output downstream."""
+        out = np.zeros((len(crops), self.T, self.C), dtype=np.float32)
+        out[:, :, 0] = 1.0
+        for i, c in enumerate(crops):
+            gray = c.mean(axis=2, dtype=np.float32) / 255.0
+            text = barcode.decode_bar_gray(gray)[: (self.T - 1) // 2]
+            self._emit(out, i, text)
+        return out
+
+    def _emit(self, out: np.ndarray, i: int, text: str) -> None:
+        for k, ch in enumerate(text):
+            idx = ASCII_INDEX.get(ch)
+            if idx is None:
+                continue
+            t = 2 * k + 1
+            out[i, t, 0] = 0.0
+            out[i, t, idx + 1] = 1.0

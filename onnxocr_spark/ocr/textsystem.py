@@ -41,9 +41,16 @@ def detect_boxes(img: np.ndarray, cfg: PipelineConfig = DEFAULT_CONFIG) -> np.nd
     )
     if resized is None:
         return np.zeros((0, 4, 2), dtype=np.float32)
-    x = to_chw(normalize_image(resized))[None, ...]
     det = get_session(cfg.det_model)
-    pred = det.run(x)[0, 0]
+    if getattr(det, "supports_raw", False):
+        # fused preprocessing (stub models only; identical output —
+        # see DetStubSession.run_raw)
+        pred = det.run_raw(resized)
+    else:
+        if resized.shape[2] == 1:  # gray input into a 3-channel model
+            resized = np.repeat(resized, 3, axis=2)
+        x = to_chw(normalize_image(resized))[None, ...]
+        pred = det.run(x)[0, 0]
     boxes, _scores = db_postprocess(
         pred,
         shape,
@@ -63,14 +70,18 @@ def classify_crops(
     """Angle classification with conditional 180° rotation
     (predict_cls.py:44-94)."""
     cls = get_session(cfg.cls_model)
+    raw = getattr(cls, "supports_raw", False)
     out_crops = list(crops)
     results: list[tuple[str, float]] = [("", 0.0)] * len(crops)
     shapes = [(c.shape[0], c.shape[1]) for c in crops]
     for indices, _ in aspect_sorted_batches(shapes, cfg.cls_batch_num):
-        batch = np.stack(
-            [cls_resize_norm(out_crops[i], cfg.cls_image_shape) for i in indices]
-        )
-        preds = cls.run(batch)
+        if raw:
+            preds = cls.run_raw([out_crops[i] for i in indices])
+        else:
+            batch = np.stack(
+                [cls_resize_norm(out_crops[i], cfg.cls_image_shape) for i in indices]
+            )
+            preds = cls.run(batch)
         for rno, (label, score) in enumerate(cls_decode(preds, cfg.label_list)):
             i = indices[rno]
             results[i] = (label, score)
@@ -86,6 +97,7 @@ def recognize_crops(
     batches of rec_batch_num, per-batch max w/h ratio floored at
     imgW/imgH, results restored to original order."""
     rec = get_session(cfg.rec_model)
+    raw = getattr(rec, "supports_raw", False)
     charset = get_charset(cfg.rec_charset)
     _, img_h, img_w = cfg.rec_image_shape
     results: list[tuple[str, float]] = [("", 0.0)] * len(crops)
@@ -93,10 +105,16 @@ def recognize_crops(
     for indices, max_ratio in aspect_sorted_batches(
         shapes, cfg.rec_batch_num, min_ratio=img_w / float(img_h)
     ):
-        batch = np.stack(
-            [rec_resize_norm(crops[i], max_ratio, cfg.rec_image_shape) for i in indices]
-        )
-        preds = rec.run(batch)
+        if raw:
+            preds = rec.run_raw([crops[i] for i in indices])
+        else:
+            batch = np.stack(
+                [
+                    rec_resize_norm(crops[i], max_ratio, cfg.rec_image_shape)
+                    for i in indices
+                ]
+            )
+            preds = rec.run(batch)
         for rno, res in enumerate(ctc_greedy_decode(preds, charset)):
             results[indices[rno]] = res
     return results

@@ -75,3 +75,23 @@ def test_recognize_batch_order_restored():
     res = recognize_crops(crops)
     assert [t for t, _ in res] == texts
     assert all(s == pytest.approx(1.0) for _, s in res)
+
+
+def test_raw_and_full_tensor_paths_agree():
+    """The stubs' fused run_raw paths must equal the full
+    normalize→CHW→run contract a real ONNX session would use."""
+    from onnxocr_spark.models import sessions
+
+    cases = [("doc_%012d" % i, o) for i in range(4) for o in (0, 1)]
+    for doc_id, off in cases:
+        img = render_media(doc_id, off)
+        raw_out = ocr_image_text(img)
+        stubs = [sessions.get_session(n) for n in ("det_stub", "cls_stub", "rec_stub")]
+        try:
+            for s in stubs:
+                s.__class__.supports_raw = False
+            full_out = ocr_image_text(img)
+        finally:
+            for s in stubs:
+                s.__class__.supports_raw = True
+        assert raw_out == full_out == expected_media_text(doc_id, off)
