@@ -153,6 +153,11 @@ def build_session(
         # local mode (and with salted repartitions generally) the wait
         # only stalls the UDF stage behind cached/shuffled partitions
         .config("spark.locality.wait", "0s")
+        # the OCR stage round-robins on a P-valued modular index via a
+        # range exchange; the default 100 samples/partition mis-places
+        # boundaries over so few distinct values (observed 0..2x row
+        # skew) — sample enough that every value gets its own range
+        .config("spark.sql.execution.rangeExchange.sampleSizePerPartition", "5000")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config(
