@@ -537,6 +537,70 @@ SELECT doc_id, md5(lower(text)) AS fp FROM documents
 """
 
 
+
+def q_ocr_media_structure_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage det/rec plan (crop-level redistribution) — must produce
+    the identical structure as the fused stage, checked by the same
+    oracle."""
+    from onnxocr_spark.config import PipelineConfig
+    from onnxocr_spark.pipeline import run_extract
+
+    out = run_extract(
+        _derived_docs(spark, sf_dir), PipelineConfig(split_stages=True)
+    )
+    return out.select("doc_id", F.explode("spans").alias("s")).filter(
+        F.col("s.kind") == "media"
+    ).select(
+        "doc_id",
+        F.col("s.offset").cast("bigint").alias("offset"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def q_doc_text_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from onnxocr_spark.sinks.formats import doc_text
+
+    return doc_text(_extract(spark, sf_dir))
+
+
+def q_hocr_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from onnxocr_spark.sinks.formats import hocr
+
+    return hocr(_extract(spark, sf_dir))
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors (random-hyperplane LSH buckets +
+    exact re-rank); deterministic but approximate → rows-only check."""
+    from onnxocr_spark.operators.similarity import lsh_topk
+
+    _register(spark, sf_dir)
+    return lsh_topk(
+        spark.table("embeddings"), k=5, n_queries=10, n_tables=16, bits=4
+    ).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+_EMB_NORM_SPARK = """
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(AVG(SQRT(aggregate(embedding, CAST(0.0 AS DOUBLE),
+                                (acc, x) -> acc + CAST(x AS DOUBLE) * x))), 3)
+         AS avg_norm
+FROM embeddings GROUP BY label
+"""
+_EMB_NORM_DUCK = """
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(AVG(SQRT(list_sum(list_transform(embedding,
+                                x -> CAST(x AS DOUBLE) * x)))), 3) AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # OCR pipeline (rows-only where OCR text is not SQL-derivable)
@@ -545,6 +609,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_media_structure": q_ocr_media_structure,
         "ocr_media_text": q_ocr_media_text,
         "ocr_metrics": q_ocr_metrics,
+        "ocr_media_structure_split": q_ocr_media_structure_split,
+        "doc_text_sink": q_doc_text_sink,
+        "hocr_sink": q_hocr_sink,
         # relational skeleton
         "explode_tokens": _sqlq(_EXPLODE_SPARK),
         "restitch_docs": _sqlq(_RESTITCH_SPARK),
@@ -567,6 +634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _sqlq(_SIMHASH_SPARK),
         "ngram_jaccard_pairs": _sqlq(_JACCARD_SPARK),
         "embedding_cosine_topk": q_cosine_topk,
+        "embedding_ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_norm_stats": _sqlq(_EMB_NORM_SPARK),
         "lang_id": _sqlq(_LANG_ID),
         "quality_score": _sqlq(_QUALITY_SPARK),
         "token_count": _sqlq(_TOKEN_COUNT_SPARK),
@@ -578,6 +647,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ocr_text_passthrough": _PASSTHROUGH_DUCK,
         "ocr_media_structure": _MEDIA_STRUCT_DUCK,
+        "ocr_media_structure_split": _MEDIA_STRUCT_DUCK,
         "explode_tokens": _EXPLODE_DUCK,
         "restitch_docs": _RESTITCH_DUCK,
         "ctc_dedupe_analog": _CTC_DUCK,
@@ -597,6 +667,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _SIMHASH_DUCK,
         "ngram_jaccard_pairs": _JACCARD_DUCK,
         "embedding_cosine_topk": _COSINE_DUCK,
+        "embedding_norm_stats": _EMB_NORM_DUCK,
         "lang_id": _LANG_ID,
         "quality_score": _QUALITY_DUCK,
         "token_count": _TOKEN_COUNT_DUCK,

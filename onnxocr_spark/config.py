@@ -46,6 +46,9 @@ class PipelineConfig:
     arrow_max_records: int = 32
     # partitions for the OCR stage; None → leave to AQE / input splits
     ocr_partitions: int | None = None
+    # two-stage det/rec plan with crop-level redistribution (SURVEY §4.2);
+    # fused single-stage is the default (no pixels cross any shuffle)
+    split_stages: bool = False
     # model identifiers resolved by the session registry
     det_model: str = "det_stub"
     cls_model: str = "cls_stub"

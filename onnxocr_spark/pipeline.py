@@ -107,7 +107,13 @@ def run_extract(
         "doc_id", "kind", "text", "media_ref", "offset"
     )
     media_rows = spans.filter(F.col("kind") == "media")
-    ocrd = ocr_media_spans(media_rows, cfg).select(
+    if cfg.split_stages:
+        from onnxocr_spark.operators.two_stage import ocr_media_spans_split
+
+        stage = ocr_media_spans_split(media_rows, cfg)
+    else:
+        stage = ocr_media_spans(media_rows, cfg)
+    ocrd = stage.select(
         "doc_id",
         F.lit("media").alias("kind"),
         "text",

@@ -1,0 +1,88 @@
+"""Structured Streaming variants (SURVEY.md §2.9).
+
+The reference is strictly batch/request-response; the natural streaming
+cut it notes is `readStream` on the input table + `foreachBatch`
+running the identical extraction — nothing in the operator set is
+order- or time-sensitive across documents, so the batch pipeline IS the
+micro-batch body and correctness carries over verbatim.
+
+`windowed_event_counts` demonstrates the watermark + tumbling-window
+stateful path over the events table (late data dropped past the
+watermark) — the building block a streaming OCR-metrics feed would use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from onnxocr_spark.config import PipelineConfig, DEFAULT_CONFIG
+
+DOCUMENTS_SCHEMA = (
+    "doc_id string, spans array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>"
+)
+
+
+def run_extract_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream documents parquet dir → extraction → parquet sink.
+
+    foreachBatch reuses run_extract unchanged; the checkpoint gives
+    exactly-once per micro-batch (the streaming counterpart of the
+    ledger-based batch resume in sinks/ledger.py).
+    """
+    from onnxocr_spark.pipeline import run_extract
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(input_path)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        run_extract(batch_df, cfg).write.mode("append").parquet(output_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    events_path: str,
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Streaming tumbling-window counts with a watermark (late rows past
+    the watermark are dropped). Returns the streaming DataFrame; caller
+    attaches a sink (tests use the memory sink + availableNow)."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
