@@ -601,6 +601,56 @@ FROM embeddings GROUP BY label
 """
 
 
+
+# polynomial rolling hash over the token stream (document fingerprinting;
+# left fold is order-sensitive in both engines by construction)
+_ROLLHASH_SPARK = """
+SELECT doc_id,
+       aggregate(split(text, ' '), CAST(7 AS BIGINT),
+                 (acc, t) -> pmod(acc * 31 + CAST(conv(substring(md5(t),1,8),16,10) AS BIGINT),
+                                  CAST(2147483647 AS BIGINT))) AS rhash
+FROM documents
+"""
+_ROLLHASH_DUCK = """
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(7 AS BIGINT),
+                   list_transform(string_split(text,' '),
+                                  t -> ('0x'||substr(md5(t),1,8))::BIGINT)),
+                   (acc, x) -> (acc * 31 + x) % 2147483647) AS rhash
+FROM documents
+"""
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (ids only)."""
+    _register(spark, sf_dir)
+    emb = spark.table("embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+    return (
+        F.broadcast(a)
+        .crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((dot / (norm(F.col("ea")) * norm(F.col("eb")))) >= 0.25)
+        .select(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"))
+    )
+
+
+_EMB_COS_PAIRS_DUCK = """
+SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.25
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # OCR pipeline (rows-only where OCR text is not SQL-derivable)
@@ -640,6 +690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _sqlq(_QUALITY_SPARK),
         "token_count": _sqlq(_TOKEN_COUNT_SPARK),
         "doc_fingerprint": _sqlq(_FINGERPRINT),
+        "doc_rolling_hash": _sqlq(_ROLLHASH_SPARK),
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
     }
 
 
@@ -672,4 +724,6 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _QUALITY_DUCK,
         "token_count": _TOKEN_COUNT_DUCK,
         "doc_fingerprint": _FINGERPRINT,
+        "doc_rolling_hash": _ROLLHASH_DUCK,
+        "dedup_embedding_cosine": _EMB_COS_PAIRS_DUCK,
     }

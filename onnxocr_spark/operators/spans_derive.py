@@ -48,26 +48,37 @@ def derive_span_rows(docs: DataFrame) -> DataFrame:
         ((F.col("src_id") * 7 + F.col("k")) % 3 == 0).cast("int").alias("m"),
     ).withColumn("pre", F.coalesce(F.sum("m").over(w), F.lit(0)))
 
-    text_spans = with_flags.select(
-        "doc_id",
+    text_span = F.struct(
         F.lit("text").alias("kind"),
         F.col("chunk").alias("text"),
         F.lit("").alias("media_ref"),
         (F.col("k") + F.col("pre")).cast("int").alias("offset"),
     )
-    media_spans = with_flags.filter(F.col("m") == 1).select(
-        "doc_id",
-        F.lit("media").alias("kind"),
-        F.lit("").alias("text"),
-        F.concat(
-            F.lit("img://"),
-            F.col("doc_id"),
-            F.lit("/"),
-            (F.col("k") + F.col("pre") + 1).cast("string"),
-        ).alias("media_ref"),
-        (F.col("k") + F.col("pre") + 1).cast("int").alias("offset"),
+    media_span = F.when(
+        F.col("m") == 1,
+        F.struct(
+            F.lit("media").alias("kind"),
+            F.lit("").alias("text"),
+            F.concat(
+                F.lit("img://"),
+                F.col("doc_id"),
+                F.lit("/"),
+                (F.col("k") + F.col("pre") + 1).cast("string"),
+            ).alias("media_ref"),
+            (F.col("k") + F.col("pre") + 1).cast("int").alias("offset"),
+        ),
     )
-    return text_spans.unionByName(media_spans)
+    # one pass: each chunk yields its text span plus (conditionally) the
+    # media span that follows, exploded from a 2-element array — the
+    # union-of-two-filtered-branches alternative makes Catalyst scan +
+    # window the input twice (verified with .explain("formatted"))
+    return (
+        with_flags.select(
+            "doc_id", F.explode(F.array(text_span, media_span)).alias("s")
+        )
+        .filter(F.col("s").isNotNull())
+        .select("doc_id", "s.*")
+    )
 
 
 def derive_documents(docs: DataFrame) -> DataFrame:

@@ -39,10 +39,16 @@ SPAN_FIELDS = ("kind", "text", "media_ref", "offset")
 
 
 def explode_spans(docs: DataFrame) -> DataFrame:
-    """documents → one row per span (doc_id, pos, kind, text, media_ref, offset)."""
-    return docs.select(
-        "doc_id", F.posexplode("spans").alias("pos", "span")
-    ).select("doc_id", "pos", "span.*")
+    """documents → one row per span (doc_id, kind, text, media_ref, offset).
+
+    Plain ``explode``, not ``posexplode``: the ordinal output blocks
+    nested-schema pruning at the parquet scan (a kind-only consumer
+    would read all four span fields; verified in tests/test_plans.py),
+    and ``offset`` already carries the order.
+    """
+    return docs.select("doc_id", F.explode("spans").alias("span")).select(
+        "doc_id", "span.*"
+    )
 
 
 def ocr_media_spans(media: DataFrame, cfg: PipelineConfig) -> DataFrame:

@@ -1,0 +1,45 @@
+"""Pin the load-bearing physical-plan properties (PLANS.md)."""
+
+from pyspark.sql import functions as F
+
+from onnxocr_spark.operators.spans_derive import derive_documents
+from onnxocr_spark.pipeline import run_extract, explode_spans
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_derivation_single_scan_with_pushdown(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(derive_documents(docs.filter(F.col("doc_id") < 100)))
+    assert plan.count("Scan parquet") == 1, "text/media branches must share one scan"
+    assert plan.count("Window") == 1
+    assert "LessThan(doc_id,100)" in plan, "filter must push into the scan"
+    # column pruning: lang/source/n_chars never read
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_ocr_exchange_carries_refs_only(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(run_extract(derive_documents(docs.filter("doc_id < 50"))))
+    assert "MapInPandas" in plan
+    assert "rangepartitioning" in plan, "OCR stage must use the balanced exchange"
+    # no binary/image column may appear before the OCR stage exchange
+    pre_udf = plan.split("MapInPandas")[-1]
+    assert "media_bytes" not in pre_udf
+
+
+def test_nested_field_pruning_on_span_table(spark, tmp_path):
+    """Reading only span.kind from a materialized span table must prune
+    the nested text/media_ref fields at the parquet scan."""
+    from onnxocr_spark.datagen.documents import write_documents_parquet
+
+    path = str(tmp_path / "docs.parquet")
+    write_documents_parquet(path, 16)
+    docs = spark.read.parquet(path)
+    q = explode_spans(docs).groupBy("kind").count()
+    plan = _plan(q)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "kind" in read_schema
+    assert "media_ref" not in read_schema, f"nested pruning failed: {read_schema}"
