@@ -651,6 +651,47 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.25
 """
 
 
+
+# top-k terms across the corpus (classic corpus-stats aggregation)
+_TOP_TERMS_SPARK = """
+SELECT tok, CAST(count(*) AS BIGINT) AS n
+FROM documents LATERAL VIEW explode(split(text, ' ')) t AS tok
+GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+"""
+_TOP_TERMS_DUCK = """
+SELECT tok, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+"""
+
+# fuller quality metrics: token/char counts, punctuation count,
+# stopword ratio (training-data quality scoring)
+_QUALITY_FULL_SPARK = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(size(filter(split(text, ' '),
+                 t -> t IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+       ROUND(CAST(size(filter(split(text, ' '),
+                 t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+             / size(split(text, ' ')), 4) AS stop_ratio,
+       CAST(regexp_count(text, '[.,!?;:]') AS BIGINT) AS n_punct
+FROM documents
+"""
+_QUALITY_FULL_DUCK = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+       ROUND(CAST(len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS stop_ratio,
+       CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # OCR pipeline (rows-only where OCR text is not SQL-derivable)
@@ -689,6 +730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _sqlq(_LANG_ID),
         "quality_score": _sqlq(_QUALITY_SPARK),
         "token_count": _sqlq(_TOKEN_COUNT_SPARK),
+        "top_terms": _sqlq(_TOP_TERMS_SPARK),
+        "quality_score_full": _sqlq(_QUALITY_FULL_SPARK),
         "doc_fingerprint": _sqlq(_FINGERPRINT),
         "doc_rolling_hash": _sqlq(_ROLLHASH_SPARK),
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -723,6 +766,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _LANG_ID,
         "quality_score": _QUALITY_DUCK,
         "token_count": _TOKEN_COUNT_DUCK,
+        "top_terms": _TOP_TERMS_DUCK,
+        "quality_score_full": _QUALITY_FULL_DUCK,
         "doc_fingerprint": _FINGERPRINT,
         "doc_rolling_hash": _ROLLHASH_DUCK,
         "dedup_embedding_cosine": _EMB_COS_PAIRS_DUCK,

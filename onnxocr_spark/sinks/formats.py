@@ -60,6 +60,27 @@ def spans_tsv_rows(extracted: DataFrame) -> DataFrame:
     )
 
 
+def hocr_words(results: list, width: int, height: int) -> str:
+    """Per-image hOCR with real word bboxes — the exact K5 shape
+    (app/routers/v2.py:116-135): each (box, text, score) from
+    ocr_image becomes an ocrx_word span whose title carries
+    'bbox x0 y0 x1 y1' from corners 0 and 2 of the quad."""
+    words = []
+    for i, (box, text, _score) in enumerate(results):
+        (x0, y0), (x1, y1) = box[0], box[2]
+        words.append(
+            f"<span class='ocrx_word' id='word_{i + 1}' "
+            f"title='bbox {int(x0)} {int(y0)} {int(x1)} {int(y1)}'>"
+            f"{text}</span>"
+        )
+    return (
+        "<html><body>"
+        f"<div class='ocr_page' id='page_1' title='bbox 0 0 {width} {height}'>"
+        + "".join(words)
+        + "</div></body></html>"
+    )
+
+
 def hocr(extracted: DataFrame) -> DataFrame:
     """(doc_id, hocr) — minimal hOCR XHTML per document (K5). Word
     boxes are not tracked at the span level, so each span becomes one

@@ -228,3 +228,42 @@ def test_streaming_windowed_counts(spark, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_hocr_words_per_image():
+    from onnxocr_spark.ocr.textsystem import ocr_image
+    from onnxocr_spark.sinks.formats import hocr_words
+
+    img = render_media("doc_000000000002", 0)
+    results = ocr_image(img)
+    h = hocr_words(results, img.shape[1], img.shape[0])
+    assert h.count("ocrx_word") == len(results)
+    for _, text, _ in results:
+        assert text in h
+    assert "bbox 0 0 %d %d" % (img.shape[1], img.shape[0]) in h
+
+
+def test_ppocrv5_dict_loader():
+    """The v5 char dict survives in the reference snapshot; the loader
+    must reproduce its size + space-char append (rec_postprocess.py:18-37)."""
+    import os
+    from onnxocr_spark.models.charset import load_dict_file
+
+    path = "/root/reference/onnxocr/models/ppocrv5/ppocrv5_dict.txt"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference dict not present")
+    chars = load_dict_file(path, use_space_char=True)
+    assert len(chars) == 18383 + 1
+    assert chars[-1] == " "
+    assert len(set(chars)) == len(chars)
+
+
+def test_det_resize_min_limit_type():
+    from onnxocr_spark.kernels import det_resize_for_test
+
+    img = np.zeros((100, 300, 3), dtype=np.uint8)
+    out, meta = det_resize_for_test(img, limit_side_len=200, limit_type="min")
+    # min side 100 < 200 → scale by 2 → (200, 600) rounded /32
+    assert out.shape == (192, 608, 3)
