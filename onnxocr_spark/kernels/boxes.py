@@ -56,7 +56,7 @@ def sorted_boxes(dt_boxes: np.ndarray) -> list[np.ndarray]:
     the left one. Deliberately not a fixpoint — matches the reference
     exactly (predict_system.py:87-96).
     """
-    num = dt_boxes.shape[0]
+    num = len(dt_boxes)  # works for (N,4,2) arrays and lists of polys alike
     boxes = sorted(dt_boxes, key=lambda x: (x[0][1], x[0][0]))
     boxes = list(boxes)
     for i in range(num - 1):

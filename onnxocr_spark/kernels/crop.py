@@ -15,6 +15,17 @@ from __future__ import annotations
 import numpy as np
 
 
+def get_minarea_rect_crop(img: np.ndarray, points: np.ndarray) -> np.ndarray:
+    """Crop via the polygon's min-area rectangle — the poly-path crop
+    (get_minarea_rect_crop, /root/reference/onnxocr/utils.py:56-76):
+    minAreaRect of the points, corners reordered by the same
+    sort-by-x / split-by-y rule, then the perspective crop."""
+    from onnxocr_spark.kernels.dbpostprocess import min_area_rect
+
+    rect, _ = min_area_rect(np.asarray(points, dtype=np.float32))
+    return get_rotate_crop_image(img, rect.astype(np.float32))
+
+
 def _perspective_matrix(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
     """Solve the 3×3 homography mapping src quad → dst quad."""
     a = np.zeros((8, 8), dtype=np.float64)

@@ -13,11 +13,37 @@ from __future__ import annotations
 import numpy as np
 
 
+import re
+
+_LTR_RE = re.compile(r"[a-zA-Z0-9 :*./%+-]")
+
+
+def pred_reverse(pred: str) -> str:
+    """Arabic (RTL) reordering (rec_postprocess.py:39-53): runs of
+    Latin/digit/punct chars stay LTR as segments, everything else is a
+    single-char segment; the segment list is reversed and re-joined."""
+    segments: list[str] = []
+    current = ""
+    for c in pred:
+        if not _LTR_RE.search(c):
+            if current:
+                segments.append(current)
+            segments.append(c)
+            current = ""
+        else:
+            current += c
+    if current:
+        segments.append(current)
+    return "".join(segments[::-1])
+
+
 def ctc_greedy_decode(
-    preds: np.ndarray, charset: list[str]
+    preds: np.ndarray, charset: list[str], reverse: bool = False
 ) -> list[tuple[str, float]]:
     """preds: (N, T, C) logits/probs. charset EXCLUDES blank (blank=idx 0
-    after prepending, exactly like CTCLabelDecode.add_special_char)."""
+    after prepending, exactly like CTCLabelDecode.add_special_char).
+    ``reverse`` applies the Arabic RTL reordering (enabled when the
+    charset file path contains 'arabic', rec_postprocess.py:30-31)."""
     characters = ["blank"] + list(charset)
     idx = preds.argmax(axis=2)
     prob = preds.max(axis=2)
@@ -30,5 +56,8 @@ def ctc_greedy_decode(
         confs = prob[bi][sel]
         if confs.size == 0:
             confs = np.array([0.0])
-        out.append(("".join(chars), float(np.mean(confs))))
+        text = "".join(chars)
+        if reverse:
+            text = pred_reverse(text)
+        out.append((text, float(np.mean(confs))))
     return out

@@ -31,12 +31,21 @@ import numpy as np
 
 # ---------------------------------------------------------------- labeling
 def connected_components(mask: np.ndarray) -> list[np.ndarray]:
+    """8-connected components of a bool mask (endpoint points only)."""
+    return [pts for pts, _ in connected_components_with_runs(mask)]
+
+
+def connected_components_with_runs(
+    mask: np.ndarray,
+) -> list[tuple[np.ndarray, list[tuple[int, int, int]]]]:
     """8-connected components of a bool mask.
 
-    Returns one (K,2) float32 array of points per component — the left
+    Returns per component: a (K,2) float32 array of points — the left
     and right endpoint of every horizontal run, which has the same
-    convex hull as the full component (all a min-area rect needs).
-    Components are ordered by (ymin, xmin) for determinism.
+    convex hull as the full component (all a min-area rect needs) —
+    plus the raw (y, x_start, x_end) runs (for exact component-mean
+    scoring, the 'slow' score mode). Components are ordered by
+    (ymin, xmin) for determinism.
     """
     h, w = mask.shape
     parent: list[int] = []
@@ -97,7 +106,7 @@ def connected_components(mask: np.ndarray) -> list[np.ndarray]:
         for y, s, e in groups[root]:
             pts.append((s, y))
             pts.append((e - 1, y))
-        comps.append(np.array(pts, dtype=np.float32))
+        comps.append((np.array(pts, dtype=np.float32), groups[root]))
     return comps
 
 
@@ -205,6 +214,21 @@ def box_score_fast(bitmap: np.ndarray, box: np.ndarray) -> float:
     return float(bitmap[ymin : ymax + 1, xmin : xmax + 1][mask].mean())
 
 
+def box_score_component(
+    bitmap: np.ndarray, runs: list[tuple[int, int, int]]
+) -> float:
+    """Mean of ``bitmap`` over the component's own pixels — the 'slow'
+    score (box_score_slow fills the contour polygon,
+    db_postprocess.py:199-218; the run set IS that region, exactly)."""
+    total = 0.0
+    count = 0
+    for y, s, e in runs:
+        seg = bitmap[y, s:e]
+        total += float(seg.sum())
+        count += e - s
+    return total / count if count else 0.0
+
+
 def _fill_quad(h: int, w: int, quad: np.ndarray) -> np.ndarray:
     """Inclusive point-in-convex-polygon raster (cv2.fillPoly analog)."""
     yy, xx = np.mgrid[0:h, 0:w]
@@ -257,6 +281,17 @@ def unclip_rect(box: np.ndarray, unclip_ratio: float) -> tuple[np.ndarray, float
 
 
 # -------------------------------------------------------------- entry point
+def _binarize(pred: np.ndarray, thresh: float, use_dilation: bool) -> np.ndarray:
+    seg = pred > thresh
+    if use_dilation:  # 2×2 kernel dilate (db_postprocess.py:54-55,230-233)
+        d = seg.copy()
+        d[1:, :] |= seg[:-1, :]
+        d[:, 1:] |= seg[:, :-1]
+        d[1:, 1:] |= seg[:-1, :-1]
+        seg = d
+    return seg
+
+
 def db_postprocess(
     pred: np.ndarray,
     shape: np.ndarray,
@@ -266,27 +301,27 @@ def db_postprocess(
     unclip_ratio: float = 1.5,
     min_size: int = 3,
     use_dilation: bool = False,
+    score_mode: str = "fast",
 ) -> tuple[np.ndarray, list[float]]:
     """One image's prob map (H,W) + shape [src_h,src_w,ratio_h,ratio_w]
-    → (boxes int32 (N,4,2) in source coords, scores).
+    → (boxes int32 (N,4,2) in source coords, scores). score_mode 'fast'
+    = mean inside the min-area rect; 'slow' = mean over the component
+    region itself (box_score_slow analog).
     """
     src_h, src_w = int(shape[0]), int(shape[1])
-    seg = pred > thresh
-    if use_dilation:  # 2×2 kernel dilate (db_postprocess.py:54-55,230-233)
-        d = seg.copy()
-        d[1:, :] |= seg[:-1, :]
-        d[:, 1:] |= seg[:, :-1]
-        d[1:, 1:] |= seg[:-1, :-1]
-        seg = d
+    seg = _binarize(pred, thresh, use_dilation)
     height, width = seg.shape
-    comps = connected_components(seg)[:max_candidates]
+    comps = connected_components_with_runs(seg)[:max_candidates]
 
     boxes, scores = [], []
-    for pts in comps:
+    for pts, runs in comps:
         rect, sside = min_area_rect(pts)
         if sside < min_size:
             continue
-        score = box_score_fast(pred, rect)
+        if score_mode == "slow":
+            score = box_score_component(pred, runs)
+        else:
+            score = box_score_fast(pred, rect)
         if score < box_thresh:
             continue
         grown, sside2 = unclip_rect(rect, unclip_ratio)
@@ -300,3 +335,99 @@ def db_postprocess(
     if not boxes:
         return np.zeros((0, 4, 2), dtype=np.int32), []
     return np.stack(boxes), scores
+
+
+def _offset_convex_poly(poly: np.ndarray, d: float) -> np.ndarray:
+    """Offset a convex polygon outward by d (miter joins).
+
+    The reference uses pyclipper JT_ROUND (arc joins,
+    db_postprocess.py:151-157); for the convex polygons this engine
+    produces, the miter offset bounds the round offset and the
+    downstream min-area-rect size check makes the two equivalent —
+    documented deviation.
+    """
+    n = len(poly)
+    p = poly.astype(np.float64)
+    # ensure counter-clockwise in y-down coords (positive shoelace)
+    area2 = sum(
+        p[i][0] * p[(i + 1) % n][1] - p[(i + 1) % n][0] * p[i][1]
+        for i in range(n)
+    )
+    if area2 < 0:
+        p = p[::-1]
+    out = []
+    for i in range(n):
+        prev = p[(i - 1) % n]
+        cur = p[i]
+        nxt = p[(i + 1) % n]
+        e1 = cur - prev
+        e2 = nxt - cur
+        n1 = np.array([e1[1], -e1[0]])
+        n2 = np.array([e2[1], -e2[0]])
+        n1n = np.linalg.norm(n1)
+        n2n = np.linalg.norm(n2)
+        if n1n < 1e-9 or n2n < 1e-9:
+            out.append(cur)
+            continue
+        bis = n1 / n1n + n2 / n2n
+        bn = np.linalg.norm(bis)
+        if bn < 1e-9:
+            out.append(cur + d * n1 / n1n)
+            continue
+        bis /= bn
+        cos_half = float(np.clip(bis @ (n1 / n1n), 0.2, 1.0))
+        out.append(cur + d * bis / cos_half)
+    res = np.array(out, dtype=np.float32)
+    return res if area2 >= 0 else res[::-1]
+
+
+def db_postprocess_poly(
+    pred: np.ndarray,
+    shape: np.ndarray,
+    thresh: float = 0.3,
+    box_thresh: float = 0.6,
+    max_candidates: int = 1000,
+    unclip_ratio: float = 1.5,
+    min_size: int = 3,
+    use_dilation: bool = False,
+) -> tuple[list[np.ndarray], list[float]]:
+    """Polygon variant (polygons_from_bitmap, db_postprocess.py:57-102):
+    per component a convex polygon (the approxPolyDP analog: convex
+    hull of the region), scored over the polygon, offset outward by
+    d = area·ratio/perimeter, size-checked via min-area rect, rescaled.
+    Returns variable-length (K,2) int32 polygons.
+    """
+    src_h, src_w = int(shape[0]), int(shape[1])
+    seg = _binarize(pred, thresh, use_dilation)
+    height, width = seg.shape
+    comps = connected_components_with_runs(seg)[:max_candidates]
+
+    polys, scores = [], []
+    for pts, runs in comps:
+        hull = _convex_hull(pts)
+        if hull.shape[0] < 4:
+            continue
+        score = box_score_component(pred, runs)
+        if score < box_thresh:
+            continue
+        p = hull.astype(np.float64)
+        n = len(p)
+        area = abs(
+            sum(
+                p[i][0] * p[(i + 1) % n][1] - p[(i + 1) % n][0] * p[i][1]
+                for i in range(n)
+            )
+        ) / 2.0
+        perim = sum(np.linalg.norm(p[(i + 1) % n] - p[i]) for i in range(n))
+        if perim < 1e-9:
+            continue
+        grown = _offset_convex_poly(hull, area * unclip_ratio / perim)
+        _, sside = min_area_rect(grown)
+        if sside < min_size + 2:
+            continue
+        out = grown.astype(np.float64)
+        out[:, 0] = np.clip(np.round(out[:, 0] / width * src_w), 0, src_w)
+        out[:, 1] = np.clip(np.round(out[:, 1] / height * src_h), 0, src_h)
+        polys.append(out.astype(np.int32))
+        scores.append(score)
+    return polys, scores

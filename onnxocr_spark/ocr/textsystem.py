@@ -51,15 +51,27 @@ def detect_boxes(img: np.ndarray, cfg: PipelineConfig = DEFAULT_CONFIG) -> np.nd
             resized = np.repeat(resized, 3, axis=2)
         x = to_chw(normalize_image(resized))[None, ...]
         pred = det.run(x)[0, 0]
-    boxes, _scores = db_postprocess(
-        pred,
-        shape,
+    common = dict(
         thresh=cfg.det_db_thresh,
         box_thresh=cfg.det_db_box_thresh,
         max_candidates=cfg.max_candidates,
         unclip_ratio=cfg.det_db_unclip_ratio,
         min_size=cfg.min_size,
         use_dilation=cfg.use_dilation,
+    )
+    if cfg.det_box_type == "poly":
+        from onnxocr_spark.kernels.dbpostprocess import db_postprocess_poly
+        from onnxocr_spark.kernels.boxes import clip_det_res
+
+        polys, _scores = db_postprocess_poly(pred, shape, **common)
+        # poly path clips only (filter_tag_det_res_only_clip,
+        # predict_det.py:83-92)
+        return [
+            clip_det_res(p.astype(np.float32), img.shape[0], img.shape[1])
+            for p in polys
+        ]
+    boxes, _scores = db_postprocess(
+        pred, shape, score_mode=cfg.det_db_score_mode, **common
     )
     return filter_tag_det_res(boxes, img.shape[0], img.shape[1])
 
@@ -99,6 +111,8 @@ def recognize_crops(
     rec = get_session(cfg.rec_model)
     raw = getattr(rec, "supports_raw", False)
     charset = get_charset(cfg.rec_charset)
+    # RTL reordering when the dict is an arabic one (rec_postprocess.py:30-31)
+    reverse = "arabic" in cfg.rec_charset
     _, img_h, img_w = cfg.rec_image_shape
     results: list[tuple[str, float]] = [("", 0.0)] * len(crops)
     shapes = [(c.shape[0], c.shape[1]) for c in crops]
@@ -115,7 +129,7 @@ def recognize_crops(
                 ]
             )
             preds = rec.run(batch)
-        for rno, res in enumerate(ctc_greedy_decode(preds, charset)):
+        for rno, res in enumerate(ctc_greedy_decode(preds, charset, reverse)):
             results[indices[rno]] = res
     return results
 
@@ -126,10 +140,17 @@ def ocr_image(
     """Full per-image pipeline → [(box, text, score)] in reading order,
     drop-score filtered (predict_system.py:35-72)."""
     dt_boxes = detect_boxes(img, cfg)
-    if dt_boxes.shape[0] == 0:
+    if len(dt_boxes) == 0:
         return []
     boxes = sorted_boxes(dt_boxes)
-    crops = [get_rotate_crop_image(img, b.astype(np.float32).copy()) for b in boxes]
+    if cfg.det_box_type == "poly":
+        from onnxocr_spark.kernels.crop import get_minarea_rect_crop
+
+        crops = [get_minarea_rect_crop(img, b) for b in boxes]
+    else:
+        crops = [
+            get_rotate_crop_image(img, b.astype(np.float32).copy()) for b in boxes
+        ]
     if cfg.use_angle_cls:
         crops, _ = classify_crops(crops, cfg)
     rec_res = recognize_crops(crops, cfg)

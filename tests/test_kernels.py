@@ -286,3 +286,66 @@ def test_bilinear_resize_constant_preserved():
     out = bilinear_resize(img, 48, 21)
     assert out.shape == (21, 48, 3)
     assert np.all(out == 150)
+
+
+# -------------------------------------------------- poly path / slow score
+def test_db_postprocess_slow_score_component_mean():
+    from onnxocr_spark.kernels.dbpostprocess import db_postprocess
+
+    # half-intensity rectangle: component mean 0.65 passes box_thresh,
+    # but the rect-fill fast score equals it here; use an L-shape where
+    # the rect mean < component mean
+    pred = np.zeros((64, 64), dtype=np.float32)
+    pred[10:20, 10:50] = 0.9   # horizontal arm
+    pred[10:40, 10:20] = 0.9   # vertical arm (L-shape)
+    boxes_fast, s_fast = db_postprocess(pred, np.array([64, 64, 1, 1]),
+                                        score_mode="fast")
+    boxes_slow, s_slow = db_postprocess(pred, np.array([64, 64, 1, 1]),
+                                        score_mode="slow")
+    # the rect over the L includes the empty corner → fast score falls
+    # below box_thresh and the box is dropped; slow scores the region
+    # itself and keeps it — the exact semantic split of the two modes
+    assert len(boxes_fast) == 0
+    assert len(boxes_slow) == 1
+    assert s_slow[0] == pytest.approx(0.9, abs=1e-5)
+
+
+def test_db_postprocess_poly_variant():
+    from onnxocr_spark.kernels.dbpostprocess import db_postprocess_poly
+
+    pred = np.zeros((96, 96), dtype=np.float32)
+    pred[20:40, 10:70] = 1.0
+    polys, scores = db_postprocess_poly(pred, np.array([96, 96, 1, 1]))
+    assert len(polys) == 1
+    p = polys[0]
+    assert p.shape[1] == 2 and p.shape[0] >= 4
+    # offset outward: polygon must strictly contain the source rect
+    assert p[:, 0].min() < 10 and p[:, 0].max() > 69
+    assert p[:, 1].min() < 20 and p[:, 1].max() > 39
+    assert scores[0] == pytest.approx(1.0)
+
+
+def test_min_area_rect_crop():
+    from onnxocr_spark.kernels.crop import get_minarea_rect_crop
+
+    img = (np.arange(64 * 64 * 3) % 251).astype(np.uint8).reshape(64, 64, 3)
+    poly = np.array([[10, 10], [40, 10], [45, 20], [40, 30], [10, 30]],
+                    dtype=np.float32)
+    crop = get_minarea_rect_crop(img, poly)
+    assert crop.shape[0] >= 19 and crop.shape[1] >= 34
+
+
+def test_pred_reverse_arabic_rule():
+    from onnxocr_spark.kernels.ctc import pred_reverse
+
+    # LTR runs stay intact, other chars are single reversed segments
+    assert pred_reverse("abc") == "abc"
+    assert pred_reverse("اب") == "با"
+    assert pred_reverse("abاcd") == "cdاab"
+
+
+def test_ctc_decode_reverse_flag():
+    charset = ["a", "b", "ا"]
+    preds = _logits([(1, 1.0), (3, 1.0), (2, 1.0)], c=4)
+    [(text, _)] = ctc_greedy_decode(preds, charset, reverse=True)
+    assert text == "bاa"

@@ -100,7 +100,9 @@ def test_resume_anti_join(spark, docs_df, tmp_path):
     write_with_ledger(run_extract(pending), root, run_id="r2")
     assert pending_documents(docs_df, root).count() == 0
     # full output equals expectation
-    out = spark.read.parquet(os.path.join(root, "data"))
+    from onnxocr_spark.sinks.ledger import read_output
+
+    out = read_output(spark, root)
     got = _spans_key([r.asDict(recursive=True) for r in out.collect()])
     exp = _spans_key(expected_output_rows(N_DOCS))
     assert got == exp

@@ -95,3 +95,23 @@ def test_raw_and_full_tensor_paths_agree():
             for s in stubs:
                 s.__class__.supports_raw = True
         assert raw_out == full_out == expected_media_text(doc_id, off)
+
+
+def test_poly_box_type_end_to_end():
+    """det_box_type='poly' (polygon det + min-area-rect crop) must read
+    the synthetic bars identically — they are convex rectangles."""
+    from onnxocr_spark.config import PipelineConfig
+
+    cfg = PipelineConfig(det_box_type="poly")
+    for i in (0, 5):
+        doc = f"doc_{i:012d}"
+        img = render_media(doc, 0)
+        assert ocr_image_text(img, cfg) == expected_media_text(doc, 0)
+
+
+def test_slow_score_mode_end_to_end():
+    from onnxocr_spark.config import PipelineConfig
+
+    cfg = PipelineConfig(det_db_score_mode="slow")
+    img = render_media("doc_000000000004", 1)
+    assert ocr_image_text(img, cfg) == expected_media_text("doc_000000000004", 1)
