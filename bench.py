@@ -145,12 +145,21 @@ def main() -> None:
     timings = {}
     for name in HEADLINE:
         t0 = time.time()
-        n = qs[name](spark, SF_DIR).count()
+        try:
+            n = qs[name](spark, SF_DIR).count()
+        except Exception as exc:  # a broken query must not kill the bench
+            print(f"# {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
     spark.stop()
 
-    scaling = run_scaling(SF_DIR)
+    try:
+        scaling = run_scaling(SF_DIR)
+    except Exception as exc:  # always emit the JSON line for the driver
+        print(f"# scaling run FAILED: {exc}", file=sys.stderr)
+        scaling = {"error": str(exc)[:300]}
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     out = {
         "metric": "headline_queries_total_sec",
