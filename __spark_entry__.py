@@ -692,6 +692,68 @@ FROM documents
 """
 
 
+
+def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram language ID (the real heuristic; the keyword variant
+    `lang_id` is the oracle-backed one)."""
+    from onnxocr_spark.operators.textstats import lang_id_ngram
+
+    _register(spark, sf_dir)
+    return lang_id_ngram(spark.table("documents")).groupBy("lang_pred").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+
+
+def _synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal media table derived from the corpus: rendered image
+    bytes for even doc_ids, fake audio/video payloads for the rest."""
+    from collections.abc import Iterator
+    import pandas as pd
+
+    _register(spark, sf_dir)
+    base = spark.table("documents").select("doc_id").filter("doc_id < 60")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from onnxocr_spark.datagen.render import render_media
+        from onnxocr_spark.imagecodec import encode_image
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                did = int(r.doc_id)
+                mid = f"m{did}"
+                if did % 3 == 0:
+                    rows.append((mid, "image",
+                                 encode_image(render_media(f"doc_{did:012d}", 0))))
+                elif did % 3 == 1:
+                    rows.append((mid, "audio", f"audio-{did}".encode()))
+                else:
+                    rows.append((mid, "video", f"video-{did}".encode()))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "bytes"])
+
+    return base.mapInPandas(
+        build, "media_id string, kind string, bytes binary"
+    ).withColumn("meta", F.create_map())
+
+
+def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from onnxocr_spark.operators.multimodal import image_features
+
+    return image_features(_synthetic_media(spark, sf_dir))
+
+
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from onnxocr_spark.operators.multimodal import audio_features
+
+    return audio_features(_synthetic_media(spark, sf_dir))
+
+
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from onnxocr_spark.operators.multimodal import video_frame_samples
+
+    return video_frame_samples(_synthetic_media(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # OCR pipeline (rows-only where OCR text is not SQL-derivable)
@@ -728,6 +790,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_lsh_topk": q_ann_lsh_topk,
         "embedding_norm_stats": _sqlq(_EMB_NORM_SPARK),
         "lang_id": _sqlq(_LANG_ID),
+        "lang_id_ngram": q_lang_id_ngram,
+        "multimodal_image_features": q_multimodal_image_features,
+        "multimodal_audio_features": q_multimodal_audio_features,
+        "multimodal_video_frames": q_multimodal_video_frames,
         "quality_score": _sqlq(_QUALITY_SPARK),
         "token_count": _sqlq(_TOKEN_COUNT_SPARK),
         "top_terms": _sqlq(_TOP_TERMS_SPARK),

@@ -1,0 +1,77 @@
+"""Text analysis for training-data pipelines.
+
+``lang_id_ngram``: character-trigram language ID. Profiles are built at
+import time from small embedded seed texts (pure function — identical
+on driver and every executor, no model files to ship); classification
+is an Arrow-batched pandas UDF scoring trigram-set overlap, with 'unk'
+below a confidence floor. The oracle-backed keyword variant lives in
+__spark_entry__ (`lang_id`); this is the real heuristic the task brief
+asks for.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+_SEED_TEXTS = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog and then it was the "
+        "best of times it was the worst of times there is nothing either "
+        "good or bad but thinking makes it so all the world is a stage and "
+        "all the men and women merely players they have their exits"
+    ),
+    "de": (
+        "der schnelle braune fuchs springt über den faulen hund und es war "
+        "die beste aller zeiten es war die schlechteste aller zeiten die "
+        "welt ist eine bühne und alle männer und frauen sind nur spieler "
+        "sie haben ihre auftritte und ihre abgänge und ein mensch spielt"
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux et "
+        "c'était le meilleur des temps c'était le pire des temps le monde "
+        "entier est une scène et tous les hommes et les femmes ne sont que "
+        "des acteurs ils ont leurs entrées et leurs sorties et un homme"
+    ),
+    "es": (
+        "el rápido zorro marrón salta sobre el perro perezoso y era el "
+        "mejor de los tiempos era el peor de los tiempos el mundo entero "
+        "es un escenario y todos los hombres y mujeres son meros actores "
+        "tienen sus salidas y sus entradas y un hombre interpreta muchos"
+    ),
+}
+_PROFILE_SIZE = 150
+
+
+def _trigrams(text: str) -> Counter:
+    t = f"  {text.lower()}  "
+    return Counter(t[i : i + 3] for i in range(len(t) - 2))
+
+
+_PROFILES: dict[str, set[str]] = {
+    lang: {g for g, _ in _trigrams(txt).most_common(_PROFILE_SIZE)}
+    for lang, txt in _SEED_TEXTS.items()
+}
+
+
+def classify_language(text: str, min_overlap: float = 0.08) -> str:
+    grams = set(_trigrams(text))
+    if not grams:
+        return "unk"
+    scores = {
+        lang: len(grams & prof) / len(grams) for lang, prof in _PROFILES.items()
+    }
+    best = max(sorted(scores), key=lambda k: scores[k])
+    return best if scores[best] >= min_overlap else "unk"
+
+
+def lang_id_ngram(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    @pandas_udf("string")
+    def _udf(col: pd.Series) -> pd.Series:
+        return col.map(lambda t: classify_language(t or ""))
+
+    return docs.withColumn("lang_pred", _udf(F.col(text_col)))

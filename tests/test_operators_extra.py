@@ -267,3 +267,25 @@ def test_det_resize_min_limit_type():
     out, meta = det_resize_for_test(img, limit_side_len=200, limit_type="min")
     # min side 100 < 200 → scale by 2 → (200, 600) rounded /32
     assert out.shape == (192, 608, 3)
+
+
+# ----------------------------------------------------------- text stats
+def test_lang_id_ngram_classifier():
+    from onnxocr_spark.operators.textstats import classify_language
+
+    assert classify_language("the cat sat on the mat and then went out") == "en"
+    assert classify_language("der hund und die katze sind in der küche") == "de"
+    assert classify_language("le chien et le chat sont dans la cuisine") == "fr"
+    assert classify_language("el perro y el gato están en la cocina") == "es"
+    assert classify_language("") == "unk"
+    assert classify_language("zzz qqq xxx 123") == "unk"
+
+
+def test_lang_id_ngram_spark(spark):
+    from onnxocr_spark.operators.textstats import lang_id_ngram
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = lang_id_ngram(docs).groupBy("lang_pred").count().collect()
+    counts = {r.lang_pred: r["count"] for r in out}
+    # the synthetic corpus is English-ish word soup
+    assert counts.get("en", 0) > 0.9 * sum(counts.values())
