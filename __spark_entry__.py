@@ -754,6 +754,40 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_frame_samples(_synthetic_media(spark, sf_dir))
 
 
+
+def q_ocr_boxes_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-box detail table (doc_id, offset, box_idx, text, score) from
+    the two-stage plan's recognition output — the A1 zip surface at its
+    native grain (box-level), before doc reassembly."""
+    from onnxocr_spark.config import PipelineConfig
+    from onnxocr_spark.operators.two_stage import (
+        make_detect_crops_fn,
+        make_recognize_crops_fn,
+        DET_OUTPUT_SCHEMA,
+        REC_OUTPUT_SCHEMA,
+        _round_robin,
+    )
+    from onnxocr_spark.pipeline import explode_spans
+
+    cfg = PipelineConfig()
+    media = explode_spans(_derived_docs(spark, sf_dir)).filter("kind = 'media'")
+    par = spark.sparkContext.defaultParallelism
+    staged = _round_robin(media, par * 2, ["doc_id", "offset", "media_ref"]).mapInPandas(
+        make_detect_crops_fn(cfg), DET_OUTPUT_SCHEMA
+    )
+    rec = _round_robin(
+        staged.filter("box_idx >= 0"), par * 2,
+        ["doc_id", "offset", "media_ref", "box_idx", "crop"],
+    ).mapInPandas(make_recognize_crops_fn(cfg), REC_OUTPUT_SCHEMA)
+    return rec.select(
+        "doc_id",
+        F.col("offset").cast("bigint").alias("offset"),
+        F.col("box_idx").cast("bigint").alias("box_idx"),
+        "text",
+        F.round("score", 4).alias("score"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # OCR pipeline (rows-only where OCR text is not SQL-derivable)
@@ -761,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_text_passthrough": q_ocr_text_passthrough,
         "ocr_media_structure": q_ocr_media_structure,
         "ocr_media_text": q_ocr_media_text,
+        "ocr_boxes_texts": q_ocr_boxes_texts,
         "ocr_metrics": q_ocr_metrics,
         "ocr_media_structure_split": q_ocr_media_structure_split,
         "doc_text_sink": q_doc_text_sink,
