@@ -30,7 +30,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # doc budget for the scaling runs: big enough to dominate startup,
 # small enough to keep the bench under a few minutes
-SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "10000"))
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "20000"))
 # N and 4N core counts for the scaling-efficiency evidence. Default 4→16
 # rather than 8→32: this 32-core box saturates its memory bandwidth near
 # full occupancy (~720 img/s), which would measure the hardware ceiling,

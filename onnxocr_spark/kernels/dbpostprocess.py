@@ -61,14 +61,15 @@ def connected_components_with_runs(
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
-    runs_by_row: list[list[tuple[int, int, int]]] = []  # (start, end, run_id)
+    runs_by_row: dict[int, list[tuple[int, int, int]]] = {}
     prev: list[tuple[int, int, int]] = []
-    for y in range(h):
+    prev_y = -2
+    # visit only rows with any foreground (vectorized row-any precompute)
+    for y in np.flatnonzero(mask.any(axis=1)).tolist():
+        if y != prev_y + 1:
+            prev = []  # a row gap breaks 8-connectivity
+        prev_y = y
         row = mask[y]
-        if not row.any():
-            runs_by_row.append([])
-            prev = []
-            continue
         d = np.diff(row.astype(np.int8))
         starts = np.flatnonzero(d == 1) + 1
         ends = np.flatnonzero(d == -1) + 1
@@ -92,11 +93,11 @@ def connected_components_with_runs(
                 i += 1
             else:
                 j += 1
-        runs_by_row.append(cur)
+        runs_by_row[y] = cur
         prev = cur
 
     groups: dict[int, list[tuple[int, int, int]]] = {}
-    for y, runs in enumerate(runs_by_row):
+    for y, runs in runs_by_row.items():
         for s, e, rid in runs:
             groups.setdefault(find(rid), []).append((y, s, e))
 
@@ -144,7 +145,31 @@ def min_area_rect(points: np.ndarray) -> tuple[np.ndarray, float]:
     (/root/reference/onnxocr/db_postprocess.py:159-180): corners ordered
     [top-left, top-right, bottom-right, bottom-left] by the reference's
     sort-by-x-then-split-by-y rule.
+
+    Axis-aligned fast path: if the point set contains all four corners
+    of its own bounding box, the min-area rect IS that box (the minimal
+    enclosing rectangle of a rectangle is itself, and every other point
+    lies inside it) — true for every rendered text bar, so the hull +
+    calipers are skipped on the hot path with identical results.
     """
+    xs, ys = points[:, 0], points[:, 1]
+    x0, x1 = float(xs.min()), float(xs.max())
+    y0, y1 = float(ys.min()), float(ys.max())
+    if x1 > x0 and y1 > y0:
+        at_x0 = np.isclose(xs, x0)
+        at_x1 = np.isclose(xs, x1)
+        at_y0 = np.isclose(ys, y0)
+        at_y1 = np.isclose(ys, y1)
+        if (
+            bool((at_x0 & at_y0).any())
+            and bool((at_x1 & at_y0).any())
+            and bool((at_x1 & at_y1).any())
+            and bool((at_x0 & at_y1).any())
+        ):
+            rect = np.array(
+                [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=np.float32
+            )
+            return rect, float(min(x1 - x0, y1 - y0))
     hull = _convex_hull(points)
     if len(hull) == 1:
         p = hull[0]
@@ -199,13 +224,23 @@ def _order_mini_box(corners: np.ndarray) -> np.ndarray:
 
 # ------------------------------------------------------------------ scoring
 def box_score_fast(bitmap: np.ndarray, box: np.ndarray) -> float:
-    """Mean of ``bitmap`` inside the quad (db_postprocess.py:182-197)."""
+    """Mean of ``bitmap`` inside the quad (db_postprocess.py:182-197).
+
+    Axis-aligned quads (the output of the rect fast path above) skip
+    the polygon raster: the fill mask would cover the whole bbox."""
     h, w = bitmap.shape[:2]
     b = box.copy()
     xmin = int(np.clip(np.floor(b[:, 0].min()), 0, w - 1))
     xmax = int(np.clip(np.ceil(b[:, 0].max()), 0, w - 1))
     ymin = int(np.clip(np.floor(b[:, 1].min()), 0, h - 1))
     ymax = int(np.clip(np.ceil(b[:, 1].max()), 0, h - 1))
+    if (
+        b[0, 1] == b[1, 1]
+        and b[2, 1] == b[3, 1]
+        and b[0, 0] == b[3, 0]
+        and b[1, 0] == b[2, 0]
+    ):
+        return float(bitmap[ymin : ymax + 1, xmin : xmax + 1].mean())
     b[:, 0] -= xmin
     b[:, 1] -= ymin
     mask = _fill_quad(ymax - ymin + 1, xmax - xmin + 1, b.astype(np.int32))
