@@ -8,7 +8,7 @@ forces rec_image_shape="3,48,320").
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

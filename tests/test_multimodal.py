@@ -2,8 +2,6 @@
 guards. Image path is fully real; audio/video decoders are
 deterministic stubs (module docstring) with real feature math."""
 
-import hashlib
-
 import numpy as np
 import pytest
 

@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from onnxocr_spark.config import PipelineConfig
-from onnxocr_spark.datagen.documents import write_documents_parquet, is_heavy
+from onnxocr_spark.datagen.documents import write_documents_parquet
 from onnxocr_spark.datagen.render import render_media, expected_media_text, media_lines
 from onnxocr_spark.imagecodec import encode_image
 from onnxocr_spark.models.barcode import encode_bar

@@ -1,8 +1,6 @@
 """E2E Spark extraction: span-sequence equality (kind, text, media_ref,
 order) vs the analytic expected output — the BASELINE.json invariant."""
 
-import os
-
 import pytest
 
 from onnxocr_spark.datagen.documents import (
@@ -11,7 +9,6 @@ from onnxocr_spark.datagen.documents import (
     write_documents_parquet,
 )
 from onnxocr_spark.pipeline import run_extract, explode_spans, reassemble
-from onnxocr_spark.config import PipelineConfig
 
 
 N_DOCS = 64  # includes no-media docs; doc index 96 (heavy) covered in bench
