@@ -46,13 +46,15 @@ def write_with_ledger(
     sidecar. Returns the metrics dict."""
     spark = out.sparkSession
     run_dir = os.path.join(_data_path(root), f"run={run_id}")
-    out.write.mode("error").parquet(run_dir)
+    # overwrite: retrying a crashed run_id replaces its partial dir
+    # instead of failing, so the commit is idempotent per run_id
+    out.write.mode("overwrite").parquet(run_dir)
 
     # ledger entry derived from what actually landed on disk (idempotent
     # wrt speculative tasks), appended — never rewritten
     landed = spark.read.parquet(run_dir)
     ledger_dir = os.path.join(_ledger_path(root), f"run={run_id}")
-    landed.select("doc_id").distinct().write.mode("error").parquet(ledger_dir)
+    landed.select("doc_id").distinct().write.mode("overwrite").parquet(ledger_dir)
 
     n_docs = landed.count()
     n_spans, n_media, n_empty_media = (
@@ -84,23 +86,67 @@ def write_with_ledger(
 
 
 def read_output(spark: SparkSession, root: str) -> DataFrame:
-    """All committed output rows across runs."""
-    return spark.read.option("recursiveFileLookup", "true").parquet(
-        _data_path(root)
-    )
+    """All committed output rows across runs (only _SUCCESS-marked run
+    dirs — a crashed run's partial files are never exposed)."""
+    runs = sorted(_run_dirs(_data_path(root)))
+    if not runs:
+        raise FileNotFoundError(f"no committed runs under {root}")
+    paths = [os.path.join(_data_path(root), r) for r in runs]
+    return spark.read.parquet(*paths)
+
+
+def _run_dirs(path: str, require_success: bool = True) -> set[str]:
+    """run=<id> subdirs; by default only fully-committed ones (Spark's
+    _SUCCESS marker) so partially-written dirs are never read."""
+    try:
+        out = set()
+        for d in os.listdir(path):
+            full = os.path.join(path, d)
+            if not (d.startswith("run=") and os.path.isdir(full)):
+                continue
+            if require_success and not os.path.exists(
+                os.path.join(full, "_SUCCESS")
+            ):
+                continue
+            out.add(d)
+        return out
+    except FileNotFoundError:
+        return set()
 
 
 def committed_doc_ids(spark: SparkSession, root: str) -> DataFrame:
-    """doc_ids already extracted (empty DF if no ledger yet)."""
-    try:
-        return (
+    """doc_ids already extracted.
+
+    Crash consistency: a run that died between its data write and its
+    ledger write left data without a ledger entry; re-extracting those
+    docs would duplicate output rows. The data dirs are authoritative —
+    the ledger is the fast path — so doc_ids of any data run dir with
+    no ledger counterpart are unioned in (reading only those orphan
+    runs, and only their doc_id column: O(crashed runs), not O(total)).
+    """
+    sources = []
+    if _run_dirs(_ledger_path(root)):
+        sources.append(
             spark.read.option("recursiveFileLookup", "true")
             .parquet(_ledger_path(root))
             .select("doc_id")
-            .distinct()
         )
-    except Exception:
+    orphans = _run_dirs(_data_path(root)) - _run_dirs(_ledger_path(root))
+    for run in sorted(orphans):
+        try:
+            sources.append(
+                spark.read.parquet(
+                    os.path.join(_data_path(root), run)
+                ).select("doc_id")
+            )
+        except Exception:
+            pass  # partially-written dir with no readable footers: redo it
+    if not sources:
         return spark.createDataFrame([], "doc_id string")
+    out = sources[0]
+    for s in sources[1:]:
+        out = out.union(s)
+    return out.distinct()
 
 
 def pending_documents(docs: DataFrame, root: str) -> DataFrame:

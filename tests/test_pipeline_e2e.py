@@ -1,6 +1,7 @@
 """E2E Spark extraction: span-sequence equality (kind, text, media_ref,
 order) vs the analytic expected output — the BASELINE.json invariant."""
 
+import os
 import pytest
 
 from onnxocr_spark.datagen.documents import (
@@ -103,3 +104,47 @@ def test_resume_anti_join(spark, docs_df, tmp_path):
     got = _spans_key([r.asDict(recursive=True) for r in out.collect()])
     exp = _spans_key(expected_output_rows(N_DOCS))
     assert got == exp
+
+
+def test_resume_after_crash_between_data_and_ledger(spark, docs_df, tmp_path):
+    """A run that dies after writing data but before its ledger entry
+    must neither re-extract (no duplicate rows) nor lose docs."""
+    import shutil
+
+    from onnxocr_spark.sinks import write_with_ledger, pending_documents
+    from onnxocr_spark.sinks.ledger import read_output
+
+    root = str(tmp_path / "out")
+    first = docs_df.filter("doc_id < 'doc_000000000020'")
+    write_with_ledger(run_extract(first), root, run_id="ok1")
+    # simulate the crash: second run's data landed, ledger write died
+    second = docs_df.filter(
+        "doc_id >= 'doc_000000000020' AND doc_id < 'doc_000000000040'"
+    )
+    run_extract(second).write.parquet(os.path.join(root, "data", "run=crashed"))
+    # resume: crashed run's docs count as committed (data is authoritative)
+    pending = pending_documents(docs_df, root)
+    assert pending.count() == N_DOCS - 40
+    write_with_ledger(run_extract(pending), root, run_id="ok2")
+    out = read_output(spark, root)
+    assert out.count() == N_DOCS
+    assert out.select("doc_id").distinct().count() == N_DOCS
+
+
+def test_partial_run_dir_is_invisible(spark, docs_df, tmp_path):
+    """A run dir without _SUCCESS (mid-write crash) is ignored by both
+    resume and read_output, so the docs get re-extracted cleanly."""
+    from onnxocr_spark.sinks import write_with_ledger, pending_documents
+    from onnxocr_spark.sinks.ledger import read_output
+
+    root = str(tmp_path / "out")
+    write_with_ledger(
+        run_extract(docs_df.filter("doc_id < 'doc_000000000020'")), root, "ok1"
+    )
+    partial = os.path.join(root, "data", "run=partial")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-00000.parquet"), "wb") as f:
+        f.write(b"not a parquet file")  # mid-write garbage, no _SUCCESS
+    pending = pending_documents(docs_df, root)
+    assert pending.count() == N_DOCS - 20
+    assert read_output(spark, root).count() == 20
