@@ -788,6 +788,21 @@ def q_ocr_boxes_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (deterministic k-means cells + nprobe + exact re-rank)."""
+    from onnxocr_spark.operators.similarity import ivf_topk
+
+    _register(spark, sf_dir)
+    return ivf_topk(
+        spark.table("embeddings"), k=5, n_queries=10, n_clusters=16, nprobe=4
+    ).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # OCR pipeline (rows-only where OCR text is not SQL-derivable)
@@ -823,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _sqlq(_JACCARD_SPARK),
         "embedding_cosine_topk": q_cosine_topk,
         "embedding_ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_ann_ivf_topk": q_ann_ivf_topk,
         "embedding_norm_stats": _sqlq(_EMB_NORM_SPARK),
         "lang_id": _sqlq(_LANG_ID),
         "lang_id_ngram": q_lang_id_ngram,

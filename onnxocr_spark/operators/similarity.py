@@ -99,6 +99,96 @@ def lsh_signatures(
     )
 
 
+def _ivf_centroids(
+    emb: DataFrame, n_clusters: int, iters: int = 5, sample_cap: int = 4096
+) -> np.ndarray:
+    """Deterministic k-means coarse quantizer: seeds are the sample
+    vectors with the smallest sha256(vec_id) (stable under any
+    partitioning), Lloyd iterations run driver-side on a bounded
+    sample. No RNG state anywhere — retries and sessions agree."""
+    sample = (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample_cap)
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in sample])
+    mat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in sample])
+    order = np.argsort(
+        [hashlib.sha256(str(i).encode()).hexdigest() for i in ids]
+    )
+    cents = mat[order[:n_clusters]].copy()
+    for _ in range(iters):
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_clusters):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """(vec_id, cluster) — inverted-file assignment via one Arrow-batched
+    matmul per batch."""
+
+    @pandas_udf("int")
+    def assign_udf(col: pd.Series) -> pd.Series:
+        mat = np.stack(col.to_numpy()).astype(np.float64)
+        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return emb.select("vec_id", assign_udf("embedding").alias("cluster"))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int | None = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: assign vectors to k-means cells, probe the
+    ``nprobe`` nearest cells per query, exact cosine re-rank within the
+    candidate set. Same output shape as brute_force_topk.
+
+    At 10^9+ vectors the assignment is one narrow pass; the probe join
+    fans out only the candidate cells (~nprobe/n_clusters of the data)."""
+    centroids = _ivf_centroids(emb, n_clusters)
+    assign = ivf_assign(emb, centroids)
+
+    @pandas_udf("array<int>")
+    def probe_udf(col: pd.Series) -> pd.Series:
+        mat = np.stack(col.to_numpy()).astype(np.float64)
+        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    if n_queries is not None:
+        q = q.filter(F.col("query_id") < n_queries)
+    probes = q.select(
+        "query_id", "qe", F.explode(probe_udf("qe")).alias("cluster")
+    )
+    cand = (
+        probes.join(assign, "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qe", F.col("vec_id").alias("neighbor_id"))
+    )
+    n_emb = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+    )
+    scored = cand.join(n_emb, "neighbor_id").select(
+        "query_id", "neighbor_id", _cosine_cols("qe", "ne").alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     k: int = 5,

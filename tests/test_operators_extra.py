@@ -289,3 +289,42 @@ def test_lang_id_ngram_spark(spark):
     counts = {r.lang_pred: r["count"] for r in out}
     # the synthetic corpus is English-ish word soup
     assert counts.get("en", 0) > 0.9 * sum(counts.values())
+
+
+def test_ocr_accumulator_metrics(spark, docs_df):
+    from onnxocr_spark.config import DEFAULT_CONFIG
+    from onnxocr_spark.operators.metrics import make_accumulators, with_metrics
+    from onnxocr_spark.operators.ocr_media import make_ocr_media_fn, OCR_OUTPUT_SCHEMA
+    from onnxocr_spark.pipeline import explode_spans
+
+    media = explode_spans(docs_df).filter("kind = 'media'").select(
+        "doc_id", "offset", "media_ref"
+    )
+    n_media = media.count()
+    acc = make_accumulators(spark)
+    fn = with_metrics(make_ocr_media_fn(DEFAULT_CONFIG), acc)
+    out = media.mapInPandas(fn, OCR_OUTPUT_SCHEMA)
+    assert out.count() == n_media  # action drives accumulator updates
+    snap = acc.snapshot()
+    assert snap["images"] == n_media
+    assert snap["failures"] == 0
+    assert snap["udf_seconds"] > 0
+    assert snap["imgs_per_udf_second"] > 0
+
+
+def test_ivf_topk_recall(spark):
+    from onnxocr_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(emb, k=5, n_queries=8).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ivf_topk(emb, k=5, n_queries=8,
+                                n_clusters=8, nprobe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+    # deterministic (sha256-seeded k-means, no RNG)
+    again = {(r.query_id, r.neighbor_id)
+             for r in ivf_topk(emb, k=5, n_queries=8,
+                               n_clusters=8, nprobe=4).collect()}
+    assert approx == again
