@@ -26,6 +26,13 @@ TABLES = (
 
 
 def _register(spark: SparkSession, sf_dir: str) -> None:
+    # workload confs that matter inside any session the driver gives us
+    # (runtime-settable SQL confs only; static ones live in build_session)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
+    spark.conf.set(
+        "spark.sql.execution.rangeExchange.sampleSizePerPartition", "5000"
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     for t in TABLES:
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).createOrReplaceTempView(t)
 
