@@ -141,6 +141,15 @@ def main() -> None:
     spark = build_session(
         "bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 16)
     )
+    # warm every Python worker before timing (long-lived executors)
+    def _warm(it):
+        from onnxocr_spark.ocr.textsystem import ocr_image_text
+        from onnxocr_spark.models.barcode import encode_bar
+        import numpy as np
+        ocr_image_text(np.repeat(encode_bar("warm")[:, :, None], 3, axis=2))
+        yield from it
+    spark.range(CPUS * 8).repartition(CPUS * 4).mapInPandas(_warm, "id long").count()
+
     qs = em.queries()
     timings = {}
     for name in HEADLINE:

@@ -148,3 +148,28 @@ def test_partial_run_dir_is_invisible(spark, docs_df, tmp_path):
     pending = pending_documents(docs_df, root)
     assert pending.count() == N_DOCS - 20
     assert read_output(spark, root).count() == 20
+
+
+def test_extract_job_cli_in_process(spark, docs_df, tmp_path):
+    """jobs/extract_job.main through its argparse surface (the session
+    comes from getOrCreate → reuses the test session)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import extract_job
+
+    src = str(tmp_path / "in")
+    docs_df.write.parquet(src)
+    out_root = str(tmp_path / "out")
+    rc = extract_job.main(
+        ["--input", src, "--output", out_root, "--run-id", "cli1"]
+    )
+    assert rc == 0
+    from onnxocr_spark.sinks.ledger import read_output
+
+    assert read_output(spark, out_root).count() == N_DOCS
+    # resume: everything committed → clean no-op
+    rc = extract_job.main(
+        ["--input", src, "--output", out_root, "--run-id", "cli2", "--resume"]
+    )
+    assert rc == 0
