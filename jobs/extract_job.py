@@ -37,6 +37,9 @@ def main(argv: list[str] | None = None) -> int:
     from onnxocr_spark.pipeline import run_extract
     from onnxocr_spark.sinks.ledger import pending_documents, write_with_ledger
 
+    # only stop the session if this job created it (embedding callers —
+    # tests, notebooks — keep theirs)
+    owns_session = SparkSession.getActiveSession() is None
     spark = (
         SparkSession.builder.appName("onnxocr-extract")
         .config("spark.sql.adaptive.enabled", "true")
@@ -55,12 +58,14 @@ def main(argv: list[str] | None = None) -> int:
         docs = pending_documents(docs, args.output)
     if docs.isEmpty():
         print("nothing pending; exiting")
-        spark.stop()
+        if owns_session:
+            spark.stop()
         return 0
     out = run_extract(docs, cfg)
     metrics = write_with_ledger(out, args.output, run_id, source_path=args.input)
     print(f"committed run {run_id}: {metrics}")
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 
