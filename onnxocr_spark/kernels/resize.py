@@ -94,6 +94,45 @@ def det_resize_for_test(
     return out, np.array([src_h, src_w, ratio_h, ratio_w])
 
 
+def det_resize_type1(
+    img: np.ndarray,
+    image_shape: tuple[int, int],
+    keep_ratio: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Type-1 det resize: fixed (H,W) target; with keep_ratio the width
+    follows the aspect, rounded UP to a multiple of 32
+    (resize_image_type1, operators.py:78-91)."""
+    import math as _math
+
+    resize_h, resize_w = image_shape
+    src_h, src_w = img.shape[:2]
+    if keep_ratio:
+        resize_w = src_w * resize_h / src_h
+        resize_w = int(_math.ceil(resize_w / 32) * 32)
+    ratio_h = float(resize_h) / src_h
+    ratio_w = float(resize_w) / src_w
+    out = bilinear_resize(img, int(resize_w), int(resize_h))
+    return out, np.array([src_h, src_w, ratio_h, ratio_w])
+
+
+def det_resize_type2(
+    img: np.ndarray, resize_long: int = 960
+) -> tuple[np.ndarray, np.ndarray]:
+    """Type-2 det resize: long side → resize_long, both dims rounded UP
+    to multiples of 128 (resize_image_type2, operators.py:140-161)."""
+    src_h, src_w = img.shape[:2]
+    ratio = float(resize_long) / max(src_h, src_w)
+    resize_h = int(src_h * ratio)
+    resize_w = int(src_w * ratio)
+    stride = 128
+    resize_h = (resize_h + stride - 1) // stride * stride
+    resize_w = (resize_w + stride - 1) // stride * stride
+    out = bilinear_resize(img, resize_w, resize_h)
+    return out, np.array(
+        [src_h, src_w, resize_h / float(src_h), resize_w / float(src_w)]
+    )
+
+
 def _resize_norm_pad(img: np.ndarray, img_c: int, img_h: int, img_w: int) -> np.ndarray:
     """Shared cls/rec normalize: resize h→img_h keep aspect (cap img_w),
     CHW, /255 −0.5 /0.5, zero-pad right to img_w."""

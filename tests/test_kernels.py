@@ -349,3 +349,25 @@ def test_ctc_decode_reverse_flag():
     preds = _logits([(1, 1.0), (3, 1.0), (2, 1.0)], c=4)
     [(text, _)] = ctc_greedy_decode(preds, charset, reverse=True)
     assert text == "bاa"
+
+
+def test_det_resize_type1_fixed_and_keep_ratio():
+    from onnxocr_spark.kernels.resize import det_resize_type1
+
+    img = np.zeros((100, 300, 3), dtype=np.uint8)
+    out, meta = det_resize_type1(img, (64, 128))
+    assert out.shape == (64, 128, 3)
+    # keep_ratio: w = 300*64/100 = 192 → ceil(192/32)*32 = 192
+    out2, meta2 = det_resize_type1(img, (64, 128), keep_ratio=True)
+    assert out2.shape == (64, 192, 3)
+    assert meta2[2] == pytest.approx(0.64)
+
+
+def test_det_resize_type2_long_side_128_multiple():
+    from onnxocr_spark.kernels.resize import det_resize_type2
+
+    img = np.zeros((200, 500, 3), dtype=np.uint8)
+    out, meta = det_resize_type2(img, resize_long=960)
+    # ratio 960/500=1.92 → (384, 960) → ceil to /128 → (384, 1024)
+    assert out.shape == (384, 1024, 3)
+    assert out.shape[0] % 128 == 0 and out.shape[1] % 128 == 0
