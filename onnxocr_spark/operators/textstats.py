@@ -75,3 +75,17 @@ def lang_id_ngram(docs: DataFrame, text_col: str = "text") -> DataFrame:
         return col.map(lambda t: classify_language(t or ""))
 
     return docs.withColumn("lang_pred", _udf(F.col(text_col)))
+
+
+def str_count(s: str) -> int:
+    """CJK-aware display width (F1, utils.py:91-113): length minus half
+    the count of ASCII-letter/digit/space chars, rounded up — wide
+    glyphs count 1, narrow count ½."""
+    import math
+    import string
+
+    en_dg_count = sum(
+        1 for c in str(s)
+        if c in string.ascii_letters or c.isdigit() or c.isspace()
+    )
+    return len(str(s)) - math.ceil(en_dg_count / 2)

@@ -328,3 +328,12 @@ def test_ivf_topk_recall(spark):
              for r in ivf_topk(emb, k=5, n_queries=8,
                                n_clusters=8, nprobe=4).collect()}
     assert approx == again
+
+
+def test_str_count_display_width():
+    from onnxocr_spark.operators.textstats import str_count
+
+    assert str_count("abcd") == 2          # 4 - ceil(4/2)
+    assert str_count("abc") == 1           # 3 - ceil(3/2)
+    assert str_count("中文字") == 3         # wide chars count fully
+    assert str_count("中a文b") == 3         # 4 - ceil(2/2)
