@@ -173,3 +173,27 @@ def test_extract_job_cli_in_process(spark, docs_df, tmp_path):
         ["--input", src, "--output", out_root, "--run-id", "cli2", "--resume"]
     )
     assert rc == 0
+
+
+def test_extreme_skew_single_doc_many_media(spark):
+    """One document carrying 40 media spans (pathological skew): the
+    round-robin balance must spread it and reassembly must restore the
+    exact order."""
+    from onnxocr_spark.datagen.render import expected_media_text
+
+    spans = [
+        {"kind": "media", "text": "", "media_ref": f"img://doc_000000000099/{o}",
+         "offset": o}
+        for o in range(40)
+    ]
+    docs = spark.createDataFrame(
+        [("doc_000000000099", spans)],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    [row] = run_extract(docs).collect()
+    got = sorted(row.spans, key=lambda s: s.offset)
+    assert len(got) == 40
+    for o, s in enumerate(got):
+        assert s.offset == o
+        assert s.text == expected_media_text("doc_000000000099", o, heavy=False)
