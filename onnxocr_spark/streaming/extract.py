@@ -71,7 +71,11 @@ def windowed_event_counts(
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string"
     )
-    stream = spark.readStream.schema(schema).parquet(events_path)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # one file per micro-batch so
+        .parquet(events_path)               # watermarks advance between them
+    )
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
