@@ -134,6 +134,38 @@ def run_scaling(sf_dir: str) -> dict:
     }
 
 
+
+def run_kernel_scaling() -> dict:
+    """Supporting evidence: the per-image kernel pipeline under plain
+    multiprocessing (no Spark, no JVM) at the same core pair — a much
+    lower-variance scaling measurement on this drifting host."""
+    import multiprocessing as mp
+
+    lo, hi = (int(c) for c in _SCALE_CORES.split(","))
+    n = 5120
+    thr = {}
+    for procs in (lo, hi):
+        with mp.Pool(procs) as pool:
+            pool.map(_kernel_work, [(i,) for i in range(16)])  # warm
+            t0 = time.time()
+            pool.map(_kernel_work, [(i,) for i in range(n)], chunksize=16)
+            thr[procs] = n / (time.time() - t0)
+    return {
+        "images": n,
+        "low": {"procs": lo, "imgs_per_sec": round(thr[lo], 1)},
+        "high": {"procs": hi, "imgs_per_sec": round(thr[hi], 1)},
+        "scaling_efficiency": round((thr[hi] / thr[lo]) / (hi / lo), 3),
+    }
+
+
+def _kernel_work(args):
+    i, = args
+    from onnxocr_spark.datagen.render import render_media
+    from onnxocr_spark.ocr.textsystem import ocr_image_text
+    doc = f"doc_{i:012d}"
+    return len(ocr_image_text(render_media(doc, 0, heavy=(i % 97 == 96))))
+
+
 def main() -> None:
     import __spark_entry__ as em
     from onnxocr_spark.pipeline import build_session
@@ -169,6 +201,10 @@ def main() -> None:
     except Exception as exc:  # always emit the JSON line for the driver
         print(f"# scaling run FAILED: {exc}", file=sys.stderr)
         scaling = {"error": str(exc)[:300]}
+    try:
+        kernel_scaling = run_kernel_scaling()
+    except Exception as exc:
+        kernel_scaling = {"error": str(exc)[:300]}
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     out = {
         "metric": "headline_queries_total_sec",
@@ -177,6 +213,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf else None,
         "ocr_throughput": scaling,
+        "kernel_scaling": kernel_scaling,
     }
     print(json.dumps(out))
 
