@@ -337,3 +337,36 @@ def test_str_count_display_width():
     assert str_count("abc") == 1           # 3 - ceil(3/2)
     assert str_count("中文字") == 3         # wide chars count fully
     assert str_count("中a文b") == 3         # 4 - ceil(2/2)
+
+
+def test_two_stage_equals_fused_on_heavy_docs(spark):
+    """Heavy docs (index % 97 == 96: 2x-scale images that exercise the
+    det resize + box rescale path, many media spans) must come out
+    identical under both plans."""
+    from onnxocr_spark.datagen.documents import generate_documents
+
+    rows = generate_documents(100)[90:100]  # includes heavy doc 96
+    docs = spark.createDataFrame(
+        [(r["doc_id"], r["spans"]) for r in rows],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    def key(df):
+        return {
+            r.doc_id: [(s.kind, s.text, s.media_ref, s.offset)
+                       for s in sorted(r.spans, key=lambda s: s.offset)]
+            for r in df.collect()
+        }
+
+    fused = key(run_extract(docs))
+    split = key(run_extract(docs, PipelineConfig(split_stages=True)))
+    assert fused == split
+    # and both match the analytic expectation
+    from onnxocr_spark.datagen.documents import expected_output_rows
+
+    exp = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                      for s in sorted(r["spans"], key=lambda s: s["offset"])]
+        for r in expected_output_rows(100)[90:100]
+    }
+    assert fused == exp
