@@ -85,7 +85,20 @@ def _sqlq(sql: str) -> Callable[[SparkSession, str], DataFrame]:
 # ---- OCR pipeline surface (SURVEY.md §2.1-2.6) ----------------------------
 
 def q_ocr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _extract(spark, sf_dir)
+    """Flagship, driver-canonicalizable: one row per document with the
+    full ordered span sequence flattened to a single string (fields
+    joined by US \\x1f, spans by RS \\x1e) so the array *order* — the
+    span-sequence invariant — is part of the hashed value. ``entry()``
+    keeps the nested array<struct> shape; this projection exists because
+    the driver's pandas canonicalizer cannot hash list-typed cells."""
+    out = _extract(spark, sf_dir)
+    span_repr = F.transform(
+        "spans",
+        lambda s: F.concat_ws(
+            "\x1f", s["kind"], s["text"], s["media_ref"], s["offset"].cast("string")
+        ),
+    )
+    return out.select("doc_id", F.concat_ws("\x1e", span_repr).alias("spans_repr"))
 
 
 def q_ocr_text_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,7 +122,13 @@ def q_ocr_media_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ocr_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from onnxocr_spark.pipeline import ocr_metrics
 
-    return ocr_metrics(_derived_docs(spark, sf_dir))
+    m = ocr_metrics(_derived_docs(spark, sf_dir))
+    return m.select(
+        F.col("media_spans").cast("bigint").alias("media_spans"),
+        F.col("failures").cast("bigint").alias("failures"),
+        F.col("boxes").cast("bigint").alias("boxes"),
+        F.col("chars").cast("bigint").alias("chars"),
+    )
 
 
 # ---- relational skeleton (explode/restitch/windows/joins) -----------------
@@ -180,6 +199,17 @@ SELECT event_id,
        CAST(ROW_NUMBER() OVER (ORDER BY user_id % 100, value, event_id) AS BIGINT) AS rank
 FROM events
 ORDER BY rank LIMIT 500
+"""
+# Spark side: take the top-500 first (TakeOrderedAndProject — parallel
+# partial top-k per partition, no global single-task window over the
+# full table; VERDICT r1 item 5), then rank the 500 survivors.
+_READING_ORDER_SPARK = """
+SELECT event_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY k1, k2, event_id) AS BIGINT) AS rank
+FROM (
+  SELECT event_id, user_id % 100 AS k1, value AS k2
+  FROM events ORDER BY user_id % 100, value, event_id LIMIT 500
+)
 """
 
 _ANTI_JOIN_SPARK = """
@@ -296,6 +326,89 @@ SELECT printf('doc_%012d', doc_id) AS doc_id,
 FROM p WHERE m = 1
 """
 
+# Analytic OCR ground truth. The media renderer + stub models form a
+# deterministic contract (models/barcode.py, datagen/render.py), so the
+# OCR text of media span (doc, offset) is a pure function mirrored here:
+# seed = first 8 bytes of sha256('{doc_id}/{offset}/lines') big-endian,
+# k_lines = 2 + seed % (4 if doc heavy else 3), heavy ⇔ idx % 97 == 96,
+# line j = 'line{j} {last4(doc_id)}:{offset}', joined by '\n'.
+# DuckDB's sha256 matches Python's hashlib byte-for-byte (verified), so
+# the driver's oracle independently re-derives the flagship output.
+_ANALYTIC_CTE = DERIVE_SQL_CTE + """
+, m2 AS (
+  SELECT doc_id, k, chunk, m, pre,
+         printf('doc_%012d', doc_id) AS did,
+         CAST(k + pre AS BIGINT) AS toff,
+         CAST(k + pre + 1 AS BIGINT) AS moff,
+         2 + ('0x' || substr(sha256(printf('doc_%012d', doc_id) || '/' ||
+                  CAST(k + pre + 1 AS BIGINT) || '/lines'), 1, 16))::UBIGINT
+             % (CASE WHEN doc_id % 97 = 96 THEN 4 ELSE 3 END) AS k_lines
+  FROM p
+),
+m3 AS (
+  SELECT *,
+         array_to_string(list_transform(range(0, CAST(k_lines AS BIGINT)),
+             j -> 'line' || j || ' ' || substr(did, 13, 4) || ':' || moff),
+             chr(10)) AS ocr_text
+  FROM m2
+),
+spanrows AS (
+  SELECT did AS doc_id, toff AS "offset", 'text' AS kind, chunk AS text,
+         '' AS media_ref FROM m3
+  UNION ALL
+  SELECT did AS doc_id, moff AS "offset", 'media' AS kind, ocr_text AS text,
+         'img://' || did || '/' || moff AS media_ref
+  FROM m3 WHERE m = 1
+)
+"""
+
+_EXTRACT_DUCK = _ANALYTIC_CTE + """
+SELECT doc_id,
+       string_agg(kind || chr(31) || text || chr(31) || media_ref || chr(31)
+                  || "offset", chr(30) ORDER BY "offset") AS spans_repr
+FROM spanrows GROUP BY doc_id
+"""
+
+_MEDIA_TEXT_DUCK = _ANALYTIC_CTE + """
+SELECT doc_id, "offset", text FROM spanrows WHERE kind = 'media'
+"""
+
+_DOC_TEXT_DUCK = _ANALYTIC_CTE + """
+SELECT doc_id, string_agg(text, chr(10) ORDER BY "offset") AS text
+FROM spanrows GROUP BY doc_id
+"""
+
+_HOCR_DUCK = _ANALYTIC_CTE + """
+SELECT doc_id,
+       '<html><body><div class=''ocr_page'' id=''page_1''>' ||
+       string_agg('<span class=''ocr_line'' id=''line_' || "offset" || '''>'
+                  || text || '</span>', '' ORDER BY "offset") ||
+       '</div></body></html>' AS hocr
+FROM spanrows GROUP BY doc_id
+"""
+
+# Per-box detail: bar j of a media image OCRs to 'line{j} …' with the
+# stub's one-hot CTC probs ⇒ score exactly 1.0; boxes sort top-to-bottom
+# so box_idx == j.
+_BOXES_TEXTS_DUCK = _ANALYTIC_CTE + """
+SELECT doc_id, "offset", box_idx,
+       'line' || box_idx || ' ' || last4 || ':' || "offset" AS text,
+       CAST(1.0 AS DOUBLE) AS score
+FROM (
+  SELECT did AS doc_id, moff AS "offset", substr(did, 13, 4) AS last4,
+         unnest(range(0, CAST(k_lines AS BIGINT))) AS box_idx
+  FROM m3 WHERE m = 1
+)
+"""
+
+_OCR_METRICS_DUCK = _ANALYTIC_CTE + """
+SELECT CAST(count(*) AS BIGINT) AS media_spans,
+       CAST(0 AS BIGINT) AS failures,
+       CAST(SUM(k_lines) AS BIGINT) AS boxes,
+       CAST(SUM(length(ocr_text)) AS BIGINT) AS chars
+FROM m3 WHERE m = 1
+"""
+
 # ---- training-data pipeline ops -------------------------------------------
 
 _DEDUP_EXACT_SPARK = """
@@ -311,23 +424,53 @@ SELECT md5(array_to_string((string_split(text, ' '))[1:4], ' ')) AS fp,
 FROM documents GROUP BY 1 HAVING count(*) > 1
 """
 
-# MinHash signatures: 16 hash seeds over token 3-gram shingles.
-_MINHASH_SPARK = """
-WITH toks AS (
-  SELECT doc_id, pos, tok
-  FROM documents LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok
-),
-tri AS (
-  SELECT a.doc_id, concat(a.tok, ' ', b.tok, ' ', c.tok) AS shingle
-  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-              JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
-),
-seeds AS (SELECT explode(sequence(0, 15)) AS seed)
-SELECT tri.doc_id, CAST(seed AS BIGINT) AS seed,
-       MIN(md5(concat(CAST(seed AS STRING), ':', shingle))) AS minhash
-FROM tri CROSS JOIN seeds
-GROUP BY tri.doc_id, seed
+# MinHash: 16 universal-hash functions over token 3-gram shingles.
+# Seed hashes are Carter-Wegman mixes (hb*a_s + b_s mod 2^31-1, a/b
+# sha256-derived constants baked into the SQL) of ONE 60-bit md5 prefix
+# per shingle — the textbook k-permutation construction. Plan shape
+# (VERDICT r1 item 3): narrow shingle explode (codegen, no token
+# self-join), then a map-side-combined groupBy — each doc's shingles sit
+# in one input partition, so partial aggregation collapses to one row
+# per doc *before* the only shuffle. Round 1 shuffled the full exploded
+# token table twice through a 3-way self-join.
+_MH_P = 2147483647
+_SHINGLES_SPARK = """
+    SELECT doc_id, explode(transform(sequence(1, size(t) - 2),
+               i -> concat_ws(' ', t[i-1], t[i], t[i+1]))) AS shingle
+    FROM (SELECT doc_id, split(text, ' ') AS t FROM documents)
+    WHERE size(t) >= 3
 """
+_MINHASH_CORE_SPARK = """
+SELECT doc_id,
+       array({mins}) AS mh
+FROM (
+  SELECT doc_id,
+         pmod(CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT),
+              2147483647) AS hb
+  FROM ({shingles})
+)
+GROUP BY doc_id
+""".format(mins="""MIN(pmod(hb * 921440328 + 1784546027, 2147483647)),
+             MIN(pmod(hb * 37701240 + 354508152, 2147483647)),
+             MIN(pmod(hb * 449796578 + 306530153, 2147483647)),
+             MIN(pmod(hb * 492247049 + 349390190, 2147483647)),
+             MIN(pmod(hb * 1743316459 + 1077260002, 2147483647)),
+             MIN(pmod(hb * 1166774449 + 1452085244, 2147483647)),
+             MIN(pmod(hb * 1661019430 + 410452542, 2147483647)),
+             MIN(pmod(hb * 911295768 + 1645529458, 2147483647)),
+             MIN(pmod(hb * 1647127509 + 818920737, 2147483647)),
+             MIN(pmod(hb * 1419034827 + 691191258, 2147483647)),
+             MIN(pmod(hb * 1646992099 + 1648527430, 2147483647)),
+             MIN(pmod(hb * 2024284797 + 1729037751, 2147483647)),
+             MIN(pmod(hb * 1806657237 + 1159790259, 2147483647)),
+             MIN(pmod(hb * 1066479870 + 1618275302, 2147483647)),
+             MIN(pmod(hb * 1646561307 + 1467039869, 2147483647)),
+             MIN(pmod(hb * 1967357840 + 1377743954, 2147483647))""", shingles=_SHINGLES_SPARK)
+_MINHASH_SPARK = """
+SELECT doc_id, CAST(seed AS BIGINT) AS seed, minhash
+FROM ({core}) sig
+LATERAL VIEW posexplode(mh) x AS seed, minhash
+""".format(core=_MINHASH_CORE_SPARK)
 _MINHASH_DUCK = """
 WITH toks AS (
   SELECT doc_id,
@@ -339,57 +482,162 @@ tri AS (
   SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
   FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
               JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+),
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS hb
+  FROM tri
 )
-SELECT tri.doc_id, CAST(s.seed AS BIGINT) AS seed,
-       MIN(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS minhash
-FROM tri CROSS JOIN generate_series(0, 15) s(seed)
-GROUP BY tri.doc_id, s.seed
+SELECT h.doc_id, CAST(c.seed AS BIGINT) AS seed,
+       MIN((hb * c.a + c.b) % 2147483647) AS minhash
+FROM h CROSS JOIN (VALUES (0, 921440328, 1784546027), (1, 37701240, 354508152), (2, 449796578, 306530153), (3, 492247049, 349390190), (4, 1743316459, 1077260002), (5, 1166774449, 1452085244), (6, 1661019430, 410452542), (7, 911295768, 1645529458), (8, 1647127509, 818920737), (9, 1419034827, 691191258), (10, 1646992099, 1648527430), (11, 2024284797, 1729037751), (12, 1806657237, 1159790259), (13, 1066479870, 1618275302), (14, 1646561307, 1467039869), (15, 1967357840, 1377743954)) AS c(seed, a, b)
+GROUP BY h.doc_id, c.seed
 """
 
-# LSH candidate pairs: 4 bands × 4 rows; pair when any band signature matches.
-_LSH_TEMPLATE = """
-, sig AS ({minhash})
+# LSH candidate pairs: 4 bands x 4 rows; pair when any band signature
+# matches. Spark derives band signatures narrowly from the per-doc
+# minhash array (slice preserves seed order) - the remaining shuffles
+# are the minhash partial-agg, the band equi-join, and the DISTINCT,
+# all bucketed.
+_LSH_SPARK = """
+WITH sig AS ({core}),
+bands AS (
+  SELECT doc_id, band,
+         concat_ws('|', transform(slice(mh, band * 4 + 1, 4),
+                                  x -> CAST(x AS STRING))) AS band_sig
+  FROM sig LATERAL VIEW explode(sequence(0, 3)) x AS band
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+""".format(core=_MINHASH_CORE_SPARK)
+_LSH_DUCK = """
+WITH sig AS ({minhash})
 , bands AS (
   SELECT doc_id, CAST(FLOOR(seed / 4.0) AS BIGINT) AS band,
-         {bandagg} AS band_sig
+         string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS band_sig
   FROM sig GROUP BY doc_id, CAST(FLOOR(seed / 4.0) AS BIGINT)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-"""
-_LSH_SPARK = (
-    "WITH _x AS (SELECT 1)"
-    + _LSH_TEMPLATE.format(
-        minhash=_MINHASH_SPARK.strip(),
-        bandagg="concat_ws('|', transform(array_sort(collect_list(struct(seed, "
-        "minhash))), s -> s.minhash))",
-    )
-)
-_LSH_DUCK = (
-    "WITH _x AS (SELECT 1)"
-    + _LSH_TEMPLATE.format(
-        minhash=_MINHASH_DUCK.strip(),
-        bandagg="string_agg(minhash, '|' ORDER BY seed)",
-    )
-)
+""".format(minhash=_MINHASH_DUCK.strip())
 
 # SimHash: 48-bit fingerprint from token hashes (hex-prefix of md5).
+# Single-shuffle plan (VERDICT r1 item 4): tokens explode narrowly, the
+# 48 bit-votes are 48 codegen'd SUM aggregates in ONE map-side-combined
+# groupBy (each doc's tokens sit in one input partition, so the shuffle
+# carries one pre-aggregated row per doc), and the fingerprint is
+# composed from the votes afterwards. Round 1 pushed a 48x row blowup
+# (toks CROSS JOIN sequence(0,47)) through the shuffle.
 _SIMHASH_SPARK = """
 WITH toks AS (
-  SELECT doc_id, tok,
+  SELECT doc_id,
          CAST(conv(substring(md5(tok), 1, 12), 16, 10) AS BIGINT) AS h
   FROM documents LATERAL VIEW explode(split(text, ' ')) t AS tok
 ),
-bits AS (SELECT explode(sequence(0, 47)) AS b),
 votes AS (
-  SELECT doc_id, b,
-         SUM(CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END) AS v
-  FROM toks CROSS JOIN bits GROUP BY doc_id, b
+  SELECT doc_id,
+         SUM(IF((shiftright(h, 0) & 1) = 1, 1, -1)) AS v0,
+         SUM(IF((shiftright(h, 1) & 1) = 1, 1, -1)) AS v1,
+         SUM(IF((shiftright(h, 2) & 1) = 1, 1, -1)) AS v2,
+         SUM(IF((shiftright(h, 3) & 1) = 1, 1, -1)) AS v3,
+         SUM(IF((shiftright(h, 4) & 1) = 1, 1, -1)) AS v4,
+         SUM(IF((shiftright(h, 5) & 1) = 1, 1, -1)) AS v5,
+         SUM(IF((shiftright(h, 6) & 1) = 1, 1, -1)) AS v6,
+         SUM(IF((shiftright(h, 7) & 1) = 1, 1, -1)) AS v7,
+         SUM(IF((shiftright(h, 8) & 1) = 1, 1, -1)) AS v8,
+         SUM(IF((shiftright(h, 9) & 1) = 1, 1, -1)) AS v9,
+         SUM(IF((shiftright(h, 10) & 1) = 1, 1, -1)) AS v10,
+         SUM(IF((shiftright(h, 11) & 1) = 1, 1, -1)) AS v11,
+         SUM(IF((shiftright(h, 12) & 1) = 1, 1, -1)) AS v12,
+         SUM(IF((shiftright(h, 13) & 1) = 1, 1, -1)) AS v13,
+         SUM(IF((shiftright(h, 14) & 1) = 1, 1, -1)) AS v14,
+         SUM(IF((shiftright(h, 15) & 1) = 1, 1, -1)) AS v15,
+         SUM(IF((shiftright(h, 16) & 1) = 1, 1, -1)) AS v16,
+         SUM(IF((shiftright(h, 17) & 1) = 1, 1, -1)) AS v17,
+         SUM(IF((shiftright(h, 18) & 1) = 1, 1, -1)) AS v18,
+         SUM(IF((shiftright(h, 19) & 1) = 1, 1, -1)) AS v19,
+         SUM(IF((shiftright(h, 20) & 1) = 1, 1, -1)) AS v20,
+         SUM(IF((shiftright(h, 21) & 1) = 1, 1, -1)) AS v21,
+         SUM(IF((shiftright(h, 22) & 1) = 1, 1, -1)) AS v22,
+         SUM(IF((shiftright(h, 23) & 1) = 1, 1, -1)) AS v23,
+         SUM(IF((shiftright(h, 24) & 1) = 1, 1, -1)) AS v24,
+         SUM(IF((shiftright(h, 25) & 1) = 1, 1, -1)) AS v25,
+         SUM(IF((shiftright(h, 26) & 1) = 1, 1, -1)) AS v26,
+         SUM(IF((shiftright(h, 27) & 1) = 1, 1, -1)) AS v27,
+         SUM(IF((shiftright(h, 28) & 1) = 1, 1, -1)) AS v28,
+         SUM(IF((shiftright(h, 29) & 1) = 1, 1, -1)) AS v29,
+         SUM(IF((shiftright(h, 30) & 1) = 1, 1, -1)) AS v30,
+         SUM(IF((shiftright(h, 31) & 1) = 1, 1, -1)) AS v31,
+         SUM(IF((shiftright(h, 32) & 1) = 1, 1, -1)) AS v32,
+         SUM(IF((shiftright(h, 33) & 1) = 1, 1, -1)) AS v33,
+         SUM(IF((shiftright(h, 34) & 1) = 1, 1, -1)) AS v34,
+         SUM(IF((shiftright(h, 35) & 1) = 1, 1, -1)) AS v35,
+         SUM(IF((shiftright(h, 36) & 1) = 1, 1, -1)) AS v36,
+         SUM(IF((shiftright(h, 37) & 1) = 1, 1, -1)) AS v37,
+         SUM(IF((shiftright(h, 38) & 1) = 1, 1, -1)) AS v38,
+         SUM(IF((shiftright(h, 39) & 1) = 1, 1, -1)) AS v39,
+         SUM(IF((shiftright(h, 40) & 1) = 1, 1, -1)) AS v40,
+         SUM(IF((shiftright(h, 41) & 1) = 1, 1, -1)) AS v41,
+         SUM(IF((shiftright(h, 42) & 1) = 1, 1, -1)) AS v42,
+         SUM(IF((shiftright(h, 43) & 1) = 1, 1, -1)) AS v43,
+         SUM(IF((shiftright(h, 44) & 1) = 1, 1, -1)) AS v44,
+         SUM(IF((shiftright(h, 45) & 1) = 1, 1, -1)) AS v45,
+         SUM(IF((shiftright(h, 46) & 1) = 1, 1, -1)) AS v46,
+         SUM(IF((shiftright(h, 47) & 1) = 1, 1, -1)) AS v47
+  FROM toks GROUP BY doc_id
 )
 SELECT doc_id,
-       CAST(SUM(CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END) AS BIGINT) AS simhash
-FROM votes GROUP BY doc_id
+       IF(v0 > 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v1 > 0, CAST(2 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v2 > 0, CAST(4 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v3 > 0, CAST(8 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v4 > 0, CAST(16 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v5 > 0, CAST(32 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v6 > 0, CAST(64 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v7 > 0, CAST(128 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v8 > 0, CAST(256 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v9 > 0, CAST(512 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v10 > 0, CAST(1024 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v11 > 0, CAST(2048 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v12 > 0, CAST(4096 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v13 > 0, CAST(8192 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v14 > 0, CAST(16384 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v15 > 0, CAST(32768 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v16 > 0, CAST(65536 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v17 > 0, CAST(131072 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v18 > 0, CAST(262144 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v19 > 0, CAST(524288 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v20 > 0, CAST(1048576 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v21 > 0, CAST(2097152 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v22 > 0, CAST(4194304 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v23 > 0, CAST(8388608 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v24 > 0, CAST(16777216 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v25 > 0, CAST(33554432 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v26 > 0, CAST(67108864 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v27 > 0, CAST(134217728 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v28 > 0, CAST(268435456 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v29 > 0, CAST(536870912 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v30 > 0, CAST(1073741824 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v31 > 0, CAST(2147483648 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v32 > 0, CAST(4294967296 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v33 > 0, CAST(8589934592 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v34 > 0, CAST(17179869184 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v35 > 0, CAST(34359738368 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v36 > 0, CAST(68719476736 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v37 > 0, CAST(137438953472 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v38 > 0, CAST(274877906944 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v39 > 0, CAST(549755813888 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v40 > 0, CAST(1099511627776 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v41 > 0, CAST(2199023255552 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v42 > 0, CAST(4398046511104 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v43 > 0, CAST(8796093022208 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v44 > 0, CAST(17592186044416 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v45 > 0, CAST(35184372088832 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v46 > 0, CAST(70368744177664 AS BIGINT), CAST(0 AS BIGINT))
+       + IF(v47 > 0, CAST(140737488355328 AS BIGINT), CAST(0 AS BIGINT)) AS simhash
+FROM votes
 """
 _SIMHASH_DUCK = """
 WITH toks AS (
@@ -427,15 +675,29 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5
 """
-_TOKS_SPARK = (
-    "SELECT doc_id, pos, tok FROM documents "
-    "LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok"
-)
 _TOKS_DUCK = (
     "SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) - 1 AS pos, "
     "unnest(string_split(text, ' ')) AS tok FROM documents"
 )
-_JACCARD_SPARK = _JACCARD_TEMPLATE.format(toks=_TOKS_SPARK)
+# Spark side shingles narrowly (no token self-join); the pair join stays
+# bucketed by shingle — the correct shape per VERDICT r1.
+_JACCARD_SPARK = f"""
+WITH tri AS (
+  SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SPARK})
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c
+  FROM tri x JOIN tri y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5
+"""
 _JACCARD_DUCK = _JACCARD_TEMPLATE.format(toks=_TOKS_DUCK)
 
 
@@ -629,25 +891,17 @@ FROM documents
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (ids only)."""
+    """Embedding-cosine near-duplicate pairs (ids only), exact, via the
+    block-partitioned GEMM operator — no CartesianProduct node (VERDICT
+    r1 item 2); the DuckDB cross join stays as the small-SF oracle."""
+    from onnxocr_spark.operators.similarity import cosine_pairs_blocked
+
     _register(spark, sf_dir)
-    emb = spark.table("embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y),
-        F.lit(0.0).cast("double"),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
-    )
-    return (
-        F.broadcast(a)
-        .crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter((dot / (norm(F.col("ea")) * norm(F.col("eb")))) >= 0.25)
-        .select(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"))
+    return cosine_pairs_blocked(
+        spark.table("embeddings"), threshold=0.25, block_rows=1024
+    ).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
     )
 
 
@@ -827,7 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "restitch_docs": _sqlq(_RESTITCH_SPARK),
         "ctc_dedupe_analog": _sqlq(_CTC_SPARK),
         "drop_score_filter": _sqlq(_DROP_SCORE),
-        "reading_order_topk": _sqlq(_READING_ORDER),
+        "reading_order_topk": _sqlq(_READING_ORDER_SPARK),
         "resume_anti_join": _sqlq(_ANTI_JOIN_SPARK),
         "boxes_texts_zip": _sqlq(_ZIP_JOIN),
         "mean_confidence": _sqlq(_MEAN_CONF),
@@ -864,9 +1118,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ocr_extract": _EXTRACT_DUCK,
         "ocr_text_passthrough": _PASSTHROUGH_DUCK,
         "ocr_media_structure": _MEDIA_STRUCT_DUCK,
+        "ocr_media_text": _MEDIA_TEXT_DUCK,
+        "ocr_boxes_texts": _BOXES_TEXTS_DUCK,
+        "ocr_metrics": _OCR_METRICS_DUCK,
         "ocr_media_structure_split": _MEDIA_STRUCT_DUCK,
+        "doc_text_sink": _DOC_TEXT_DUCK,
+        "hocr_sink": _HOCR_DUCK,
         "explode_tokens": _EXPLODE_DUCK,
         "restitch_docs": _RESTITCH_DUCK,
         "ctc_dedupe_analog": _CTC_DUCK,

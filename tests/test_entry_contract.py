@@ -11,15 +11,21 @@ import __spark_entry__ as em
 SF = "/root/testdata/sf0.001"
 
 FAST_ORACLE_QUERIES = [
+    "ocr_extract",
+    "ocr_media_text",
     "explode_tokens",
     "restitch_docs",
     "ctc_dedupe_analog",
     "drop_score_filter",
     "resume_anti_join",
+    "reading_order_topk",
     "q1_pricing_summary",
     "q3_top_orders",
     "dedup_exact",
     "dedup_simhash",
+    "dedup_minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "dedup_embedding_cosine",
     "embedding_cosine_topk",
     "quality_score",
     "token_count",

@@ -370,3 +370,32 @@ def test_two_stage_equals_fused_on_heavy_docs(spark):
         for r in expected_output_rows(100)[90:100]
     }
     assert fused == exp
+
+
+def test_cosine_pairs_blocked_exact_multiblock(spark):
+    """The blocked-GEMM exact pair operator must reproduce the naive
+    all-pairs result regardless of blocking; block_rows=40 forces ~4
+    blocks (diagonal + off-diagonal paths both exercised) on the
+    150-vector sf0.001 table. Also pins that no CartesianProduct /
+    BroadcastNestedLoopJoin appears in the physical plan."""
+    import numpy as np
+
+    from onnxocr_spark.operators.similarity import cosine_pairs_blocked
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sim = mat @ mat.T
+    ids = pdf["vec_id"].to_numpy()
+    ii, jj = np.nonzero(sim >= 0.25)
+    expected = {(int(ids[i]), int(ids[j])) for i, j in zip(ii, jj)
+                if ids[i] < ids[j]}
+
+    got_df = cosine_pairs_blocked(emb, threshold=0.25, block_rows=40)
+    got = {(r.id_a, r.id_b) for r in got_df.collect()}
+    assert got == expected
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
