@@ -174,7 +174,7 @@ kept AS (
 )
 SELECT user_id,
        {agg} AS decoded,
-       ROUND(AVG(value), 4) AS conf,
+       CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS conf_c100,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM kept GROUP BY user_id
 """
@@ -296,7 +296,7 @@ GROUP BY l_returnflag, l_linestatus
 
 _Q3 = """
 SELECT o.o_orderkey,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
        o.o_orderpriority
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -669,7 +669,7 @@ common AS (
   GROUP BY x.doc_id, y.doc_id
 )
 SELECT doc_a, doc_b,
-       ROUND(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 4) AS jaccard
+       CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
 FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
@@ -692,7 +692,7 @@ common AS (
   GROUP BY x.doc_id, y.doc_id
 )
 SELECT doc_a, doc_b,
-       ROUND(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 4) AS jaccard
+       CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
 FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
@@ -774,16 +774,16 @@ FROM documents GROUP BY 1
 _QUALITY_SPARK = """
 SELECT doc_id,
        CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
-       ROUND(CAST(length(text) - (size(split(text, ' ')) - 1) AS DOUBLE)
-             / size(split(text, ' ')), 4) AS avg_token_len,
+       CAST(length(text) - (size(split(text, ' ')) - 1) AS DOUBLE)
+             / size(split(text, ' ')) AS avg_token_len,
        (size(split(text, ' ')) BETWEEN 5 AND 1000) AS is_quality
 FROM documents
 """
 _QUALITY_DUCK = """
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       ROUND(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-             / len(string_split(text, ' ')), 4) AS avg_token_len,
+       CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_token_len,
        (len(string_split(text, ' ')) BETWEEN 5 AND 1000) AS is_quality
 FROM documents
 """
@@ -933,9 +933,9 @@ SELECT doc_id,
        CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
        CAST(size(filter(split(text, ' '),
                  t -> t IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
-       ROUND(CAST(size(filter(split(text, ' '),
+       CAST(size(filter(split(text, ' '),
                  t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
-             / size(split(text, ' ')), 4) AS stop_ratio,
+             / size(split(text, ' ')) AS stop_ratio,
        CAST(regexp_count(text, '[.,!?;:]') AS BIGINT) AS n_punct
 FROM documents
 """
@@ -945,9 +945,9 @@ SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        CAST(len(list_filter(string_split(text, ' '),
                  t -> t IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
-       ROUND(CAST(len(list_filter(string_split(text, ' '),
+       CAST(len(list_filter(string_split(text, ' '),
                  t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
-             / len(string_split(text, ' ')), 4) AS stop_ratio,
+             / len(string_split(text, ' ')) AS stop_ratio,
        CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
 FROM documents
 """

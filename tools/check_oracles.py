@@ -2,11 +2,18 @@
 entry on Spark and its oracle_sql() on DuckDB over the same sf dir,
 compare row count + sorted values. Usage:
 
-    python tools/check_oracles.py [sf_dir] [query ...]
+    python tools/check_oracles.py [--audit-floats] [sf_dir] [query ...]
+
+--audit-floats additionally re-runs every oracle with each ROUND(x, n)
+call routed through a margin-recording UDF and FAILS if any pre-round
+value sits within 1e-6 rounding quanta of a .5 boundary — i.e. close
+enough that a ~1e-12 cross-engine evaluation difference could flip the
+rounded digit and hence the value hash (CLAUDE.md float-boundary audit).
 """
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 import time
@@ -33,9 +40,44 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+_AUDIT_MIN: dict[str, float] = {}
+_AUDIT_MARGINS: list[float] = []
+_AUDIT_REGISTERED: set[int] = set()
+
+
+def _audit_round_udf(x: float, n: int) -> float:
+    scaled = x * (10.0 ** n)
+    _AUDIT_MARGINS.append(abs(scaled - math.floor(scaled) - 0.5))
+    return round(x, n)
+
+
+def _audit_round_margins(con, name: str, sql: str) -> float | None:
+    """Re-run `sql` with ROUND(x, n) intercepted: records the minimum
+    distance (in units of the rounding quantum 10^-n) of any pre-round
+    value from the nearest .5 flip boundary. Returns the min margin, or
+    None if the query contains no ROUND."""
+    import re
+
+    if not re.search(r"\bROUND\s*\(", sql, re.IGNORECASE):
+        return None
+    _AUDIT_MARGINS.clear()
+    if id(con) not in _AUDIT_REGISTERED:
+        con.create_function("audit_round", _audit_round_udf, [float, int], float)
+        _AUDIT_REGISTERED.add(id(con))
+    audited = re.sub(r"\bROUND\s*\(", "audit_round(", sql, flags=re.IGNORECASE)
+    con.execute(audited).fetchall()
+    if not _AUDIT_MARGINS:
+        return None
+    m = min(_AUDIT_MARGINS)
+    _AUDIT_MIN[name] = m
+    return m
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--audit-floats"]
+    audit = "--audit-floats" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     from onnxocr_spark.pipeline import build_session
 
@@ -89,6 +131,19 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"{status}{name}: {len(a)} rows match [{time.time()-t0:.1f}s]")
+        if audit:
+            try:
+                m = _audit_round_margins(con, name, oracles[name])
+            except Exception as exc:
+                failures.append(name)
+                print(f"FAIL  {name}: float audit error {exc}")
+                continue
+            if m is not None:
+                tag = "ok" if m > 1e-6 else "DANGER"
+                print(f"audit {name}: min .5-boundary margin "
+                      f"{m:.3e} quanta [{tag}]")
+                if m <= 1e-6:
+                    failures.append(name)
     spark.stop()
     print("\n" + ("ALL OK" if not failures else f"FAILURES: {failures}"))
     return 1 if failures else 0
