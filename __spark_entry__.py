@@ -1050,6 +1050,60 @@ def q_ocr_boxes_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_pdf_pages_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 end-to-end: multi-page containers (PGZ1; %PDF takes the
+    pymupdf branch in production) → pdf_to_pages rasterization → per-page
+    OCR → pages re-joined '\\n\\n' in page order. The oracle re-derives
+    each page's OCR text analytically from the barcode contract."""
+    from collections.abc import Iterator
+    import pandas as pd
+
+    from onnxocr_spark.operators.sources import pdf_to_pages, ocr_paged_media
+
+    _register(spark, sf_dir)
+    base = spark.table("documents").select("doc_id").filter("doc_id < 40")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from onnxocr_spark.datagen.render import render_media
+        from onnxocr_spark.operators.sources import encode_pages_container
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                did = f"doc_{int(r.doc_id):012d}"
+                pages = [render_media(did, p) for p in range(3)]
+                rows.append((did, encode_pages_container(pages)))
+            yield pd.DataFrame(rows, columns=["doc_id", "pdf_bytes"])
+
+    pdfs = base.mapInPandas(build, "doc_id string, pdf_bytes binary")
+    return ocr_paged_media(pdf_to_pages(pdfs).filter("ok"))
+
+
+_PDF_PAGES_DUCK = """
+WITH pg AS (
+  SELECT doc_id, unnest(range(0, 3)) AS page
+  FROM documents WHERE doc_id < 40
+),
+t AS (
+  SELECT doc_id, page,
+         2 + ('0x' || substr(sha256(printf('doc_%012d', doc_id) || '/' ||
+                  page || '/lines'), 1, 16))::UBIGINT % 3 AS k_lines
+  FROM pg
+),
+x AS (
+  SELECT doc_id, page,
+         array_to_string(list_transform(range(0, CAST(k_lines AS BIGINT)),
+             j -> 'line' || j || ' ' ||
+                  substr(printf('doc_%012d', doc_id), 13, 4) || ':' || page),
+             chr(10)) AS ptext
+  FROM t
+)
+SELECT printf('doc_%012d', doc_id) AS doc_id,
+       string_agg(ptext, chr(10) || chr(10) ORDER BY page) AS text
+FROM x GROUP BY doc_id
+"""
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (deterministic k-means cells + nprobe + exact re-rank)."""
     from onnxocr_spark.operators.similarity import ivf_topk
@@ -1076,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_media_structure_split": q_ocr_media_structure_split,
         "doc_text_sink": q_doc_text_sink,
         "hocr_sink": q_hocr_sink,
+        "pdf_pages_text": q_pdf_pages_text,
         # relational skeleton
         "explode_tokens": _sqlq(_EXPLODE_SPARK),
         "restitch_docs": _sqlq(_RESTITCH_SPARK),
@@ -1127,6 +1182,7 @@ def oracle_sql() -> dict[str, str]:
         "ocr_media_structure_split": _MEDIA_STRUCT_DUCK,
         "doc_text_sink": _DOC_TEXT_DUCK,
         "hocr_sink": _HOCR_DUCK,
+        "pdf_pages_text": _PDF_PAGES_DUCK,
         "explode_tokens": _EXPLODE_DUCK,
         "restitch_docs": _RESTITCH_DUCK,
         "ctc_dedupe_analog": _CTC_DUCK,

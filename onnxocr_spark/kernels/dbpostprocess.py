@@ -442,7 +442,13 @@ def db_postprocess_poly(
         hull = _convex_hull(pts)
         if hull.shape[0] < 4:
             continue
-        score = box_score_component(pred, runs)
+        # reference's polygons_from_bitmap scores with box_score_fast
+        # (db_postprocess.py:79): mean of pred over the FILLED polygon,
+        # not the component's own pixels — the two differ for
+        # non-rectangular components and can flip box_thresh decisions.
+        # _fill_quad rasterizes any convex polygon, so the hull is a
+        # faithful fillPoly(approx) analog here.
+        score = box_score_fast(pred, hull.astype(np.float32))
         if score < box_thresh:
             continue
         p = hull.astype(np.float64)

@@ -4,17 +4,128 @@
   directory/glob → (media_ref=path, media_bytes) rows the OCR stage
   consumes directly (bytes win over the ref scheme in resolve_media).
 - S2 base64 payloads: `unbase64` column → media_bytes.
-- S3 multi-page media (the PDF analog): a pages column exploded to one
-  row per page; recognized pages re-join with '\\n\\n' in page order
-  (ocr_images_pdfs.py:141-165).
+- S3 multi-page media: `pdf_to_pages` rasterizes PDF bytes to one row
+  per page (pymupdf-gated, mirroring the reference's
+  ocr_images_pdfs.py:22-35 get_pixmap(dpi) + BGRA→BGR), and
+  `ocr_paged_media` re-joins recognized pages with '\\n\\n' in page
+  order (ocr_images_pdfs.py:141-165).
 """
 
 from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from onnxocr_spark.config import PipelineConfig, DEFAULT_CONFIG
 from onnxocr_spark.operators.ocr_media import OCR_OUTPUT_SCHEMA, make_ocr_media_fn
+
+try:  # import-gated like models.sessions._OrtSession: absent in sandbox
+    import fitz  # pymupdf
+except ImportError:  # pragma: no cover - wheel not in this container
+    fitz = None
+
+_PAGES_MAGIC = b"PGZ1"
+
+
+def encode_pages_container(pages: list[np.ndarray]) -> bytes:
+    """Deterministic multi-page container (magic + length-prefixed IMG1
+    blobs) so the rasterize→page-rows→OCR→'\\n\\n'-join plumbing is fully
+    exercisable without a PDF library. A real corpus ships %PDF bytes
+    and takes the pymupdf branch below."""
+    from onnxocr_spark.imagecodec import encode_image
+
+    blobs = [encode_image(p) for p in pages]
+    out = [_PAGES_MAGIC, struct.pack("<I", len(blobs))]
+    for b in blobs:
+        out.append(struct.pack("<I", len(b)))
+        out.append(b)
+    return b"".join(out)
+
+
+def rasterize_pdf_bytes(data: bytes, dpi: int = 200) -> list[np.ndarray]:
+    """PDF (or PGZ1 container) bytes → list of HWC uint8 page images.
+
+    %PDF bytes follow the reference recipe (ocr_images_pdfs.py:22-35):
+    fitz.open → page.get_pixmap(dpi) → (H, W, n) buffer, alpha dropped
+    (BGRA→BGR). Raises RuntimeError when pymupdf is unavailable —
+    callers surface that as an ok=false row, never a task failure."""
+    if data[:4] == _PAGES_MAGIC:
+        from onnxocr_spark.imagecodec import decode_image
+
+        (n,) = struct.unpack_from("<I", data, 4)
+        off = 8
+        pages = []
+        for _ in range(n):
+            (ln,) = struct.unpack_from("<I", data, off)
+            off += 4
+            img = decode_image(data[off : off + ln])
+            off += ln
+            if img is None:
+                raise ValueError("corrupt page blob")
+            pages.append(img)
+        return pages
+    if data[:4] == b"%PDF":
+        if fitz is None:
+            raise RuntimeError("pymupdf not installed; cannot rasterize PDF")
+        doc = fitz.open(stream=data, filetype="pdf")
+        pages = []
+        for page in doc:
+            pix = page.get_pixmap(dpi=dpi)
+            img = np.frombuffer(pix.samples, dtype=np.uint8).reshape(
+                (pix.height, pix.width, pix.n)
+            )
+            if pix.n == 4:  # drop alpha (reference: cv2 BGRA2BGR)
+                img = np.ascontiguousarray(img[:, :, :3])
+            pages.append(img)
+        return pages
+    raise ValueError("not a PDF or PGZ1 container")
+
+
+PDF_PAGES_SCHEMA = (
+    "doc_id string, page_no int, media_ref string, media_bytes binary, "
+    "ok boolean, err string"
+)
+
+
+def pdf_to_pages(pdfs: DataFrame, dpi: int = 200) -> DataFrame:
+    """(doc_id, pdf_bytes) → one row per rasterized page
+    (doc_id, page_no, media_ref, media_bytes, ok, err) — the S3 front
+    half. Bad/undecodable documents yield a single ok=false row. Page
+    images are re-encoded IMG1 so downstream stages stay format-agnostic
+    and bytes only travel doc→page locally (no shuffle here; the OCR
+    stage's own repartition balances the exploded pages)."""
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from onnxocr_spark.imagecodec import encode_image
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    if r.pdf_bytes is None or len(r.pdf_bytes) == 0:
+                        rows.append((r.doc_id, -1, "", None, False, "empty"))
+                        continue
+                    for i, page in enumerate(
+                        rasterize_pdf_bytes(bytes(r.pdf_bytes), dpi)
+                    ):
+                        rows.append(
+                            (r.doc_id, i, f"pdf://{r.doc_id}/p{i}",
+                             encode_image(page), True, "")
+                        )
+                except Exception as exc:  # noqa: BLE001
+                    rows.append((r.doc_id, -1, "", None, False, str(exc)[:200]))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "page_no", "media_ref", "media_bytes", "ok", "err"])
+
+    import pandas as pd  # noqa: F401 (type name in fn signature)
+
+    return pdfs.select("doc_id", "pdf_bytes").mapInPandas(fn, PDF_PAGES_SCHEMA)
 
 
 def read_binary_media(spark: SparkSession, path: str) -> DataFrame:

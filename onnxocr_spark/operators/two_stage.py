@@ -95,7 +95,7 @@ def make_recognize_crops_fn(cfg: PipelineConfig):
         from onnxocr_spark.imagecodec import decode_image
         from onnxocr_spark.ocr.textsystem import classify_crops, recognize_crops
 
-        for pdf in batches:
+        def run_group(pdf: pd.DataFrame) -> list[tuple]:
             crops, keys = [], []
             for row in pdf.itertuples(index=False):
                 img = decode_image(row.crop) if row.crop is not None else None
@@ -103,17 +103,28 @@ def make_recognize_crops_fn(cfg: PipelineConfig):
                     continue
                 crops.append(img)
                 keys.append((row.doc_id, row.offset, row.media_ref, row.box_idx))
-            if crops:
-                if cfg.use_angle_cls:
-                    crops, _ = classify_crops(crops, cfg)
-                rec = recognize_crops(crops, cfg)
+            if not crops:
+                return []
+            if cfg.use_angle_cls:
+                crops, _ = classify_crops(crops, cfg)
+            rec = recognize_crops(crops, cfg)
+            return [(k[0], k[1], k[2], k[3], t, s)
+                    for k, (t, s) in zip(keys, rec)]
+
+        cols = ["doc_id", "offset", "media_ref", "box_idx", "text", "score"]
+        for pdf in batches:
+            if cfg.rec_batch_by_image:
+                # per-image batches (sorted by box_idx, the reference's
+                # sorted_boxes feed order) — max_wh_ratio padding then
+                # matches the fused stage bit-for-bit with real weights
+                rows: list[tuple] = []
+                for _, g in pdf.sort_values("box_idx").groupby(
+                    ["doc_id", "offset"], sort=False
+                ):
+                    rows.extend(run_group(g))
+                yield pd.DataFrame(rows, columns=cols)
             else:
-                rec = []
-            yield pd.DataFrame(
-                [(k[0], k[1], k[2], k[3], t, s) for k, (t, s) in zip(keys, rec)],
-                columns=["doc_id", "offset", "media_ref", "box_idx", "text",
-                         "score"],
-            )
+                yield pd.DataFrame(run_group(pdf), columns=cols)
 
     return recognize
 
@@ -139,9 +150,14 @@ def ocr_media_spans_split(media: DataFrame, cfg: PipelineConfig) -> DataFrame:
     crops = staged.filter("box_idx >= 0")
     failed = staged.filter("box_idx < 0")
 
-    rec = _round_robin(
-        crops, n_part, ["doc_id", "offset", "media_ref", "box_idx", "crop"]
-    ).mapInPandas(make_recognize_crops_fn(cfg), REC_OUTPUT_SCHEMA)
+    crop_cols = ["doc_id", "offset", "media_ref", "box_idx", "crop"]
+    if cfg.rec_batch_by_image:
+        # co-locate each image's crops so the per-image grouping inside
+        # the UDF sees them all (image-grain balance)
+        rec_in = crops.repartition(n_part, "doc_id", "offset").select(*crop_cols)
+    else:
+        rec_in = _round_robin(crops, n_part, crop_cols)
+    rec = rec_in.mapInPandas(make_recognize_crops_fn(cfg), REC_OUTPUT_SCHEMA)
 
     texts = (
         rec.filter(F.col("score") >= F.lit(cfg.drop_score))
