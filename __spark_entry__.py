@@ -956,13 +956,57 @@ FROM documents
 
 def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram language ID (the real heuristic; the keyword variant
-    `lang_id` is the oracle-backed one)."""
+    `lang_id` is the simple baseline)."""
     from onnxocr_spark.operators.textstats import lang_id_ngram
 
     _register(spark, sf_dir)
     return lang_id_ngram(spark.table("documents")).groupBy("lang_pred").agg(
         F.count("*").cast("bigint").alias("n")
     )
+
+
+def _lang_id_ngram_duck() -> str:
+    """Independent DuckDB re-derivation of the trigram classifier: the
+    import-time profiles (deterministic pure functions of the embedded
+    seed texts) are inlined as VALUES; scoring, the alphabetical
+    tie-break (Python max over sorted keys), and the 0.08 'unk' floor
+    are replicated in SQL. Verified equal to classify_language on
+    sf0.001 and sf0.01."""
+    from onnxocr_spark.operators.textstats import _PROFILES
+
+    vals = ", ".join(
+        "('{}', '{}')".format(lang, g.replace("'", "''"))
+        for lang in sorted(_PROFILES)
+        for g in sorted(_PROFILES[lang])
+    )
+    return f"""
+WITH prof(lang, gram) AS (VALUES {vals}),
+d AS (SELECT doc_id, '  ' || lower(text) || '  ' AS s FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, length(s) - 1),
+                               i -> substr(s, CAST(i AS INT), 3))) AS gram
+  FROM d
+),
+tot AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+ov AS (
+  SELECT g.doc_id, p.lang, count(*) AS c
+  FROM grams g JOIN prof p ON g.gram = p.gram
+  GROUP BY g.doc_id, p.lang
+),
+ranked AS (
+  SELECT tot.doc_id, ov.lang, ov.c * 1.0 / tot.n AS score,
+         ROW_NUMBER() OVER (PARTITION BY tot.doc_id
+                            ORDER BY ov.c * 1.0 / tot.n DESC, ov.lang) AS rn
+  FROM tot JOIN ov ON ov.doc_id = tot.doc_id
+),
+pred AS (
+  SELECT t.doc_id,
+         COALESCE(CASE WHEN r.score >= 0.08 THEN r.lang END, 'unk') AS lang_pred
+  FROM tot t LEFT JOIN ranked r ON r.doc_id = t.doc_id AND r.rn = 1
+)
+SELECT lang_pred, CAST(count(*) AS BIGINT) AS n FROM pred GROUP BY lang_pred
+"""
 
 
 def _synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1204,6 +1248,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_cosine_topk": _COSINE_DUCK,
         "embedding_norm_stats": _EMB_NORM_DUCK,
         "lang_id": _LANG_ID,
+        "lang_id_ngram": _lang_id_ngram_duck(),
         "quality_score": _QUALITY_DUCK,
         "token_count": _TOKEN_COUNT_DUCK,
         "top_terms": _TOP_TERMS_DUCK,
