@@ -46,13 +46,18 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
     "dedup_exact",
+    "dedup_minhash_sig",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
     "ngram_jaccard_pairs",
+    "dedup_embedding_cosine",
     "embedding_cosine_topk",
+    "pdf_pages_text",
     "quality_score",
     "token_count",
 ]
+# set =1 to skip the multi-JVM scaling section (quick query iteration)
+_SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 
 _CHILD_CODE = r"""
 import json, os, sys, time
@@ -197,15 +202,19 @@ def main() -> None:
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
     spark.stop()
 
-    try:
-        scaling = run_scaling(SF_DIR)
-    except Exception as exc:  # always emit the JSON line for the driver
-        print(f"# scaling run FAILED: {exc}", file=sys.stderr)
-        scaling = {"error": str(exc)[:300]}
-    try:
-        kernel_scaling = run_kernel_scaling()
-    except Exception as exc:
-        kernel_scaling = {"error": str(exc)[:300]}
+    if _SKIP_SCALING:
+        scaling = {"skipped": True}
+        kernel_scaling = {"skipped": True}
+    else:
+        try:
+            scaling = run_scaling(SF_DIR)
+        except Exception as exc:  # always emit the JSON line for the driver
+            print(f"# scaling run FAILED: {exc}", file=sys.stderr)
+            scaling = {"error": str(exc)[:300]}
+        try:
+            kernel_scaling = run_kernel_scaling()
+        except Exception as exc:
+            kernel_scaling = {"error": str(exc)[:300]}
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     out = {
         "metric": "headline_queries_total_sec",

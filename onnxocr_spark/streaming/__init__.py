@@ -1,4 +1,5 @@
 from onnxocr_spark.streaming.extract import (  # noqa: F401
     run_extract_stream,
+    streaming_exact_dedup,
     windowed_event_counts,
 )

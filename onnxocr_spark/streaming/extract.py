@@ -58,6 +58,57 @@ def run_extract_stream(
     return writer.start()
 
 
+DEDUP_OUT_SCHEMA = "fp string, doc_id long, is_first boolean"
+DEDUP_STATE_SCHEMA = "n long"
+
+
+def streaming_exact_dedup(stream_docs: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): cross-batch
+    exact dedup over the streaming documents table.
+
+    Each document is fingerprinted like the batch `dedup_exact` query
+    (md5 of the first-4-token prefix); per-fingerprint state carries the
+    number of occurrences seen across ALL previous micro-batches, so a
+    duplicate arriving hours after its original is still flagged.
+    Emits (fp, doc_id, is_first) — is_first marks the keeper. Within a
+    micro-batch, ties resolve by ascending doc_id (deterministic under
+    any partitioning; the shuffle is the groupBy(fp) hash exchange, the
+    state store is the checkpointed RocksDB/HDFS-backed Spark state).
+
+    At 10^12 docs: state is one counter per distinct fingerprint,
+    hash-partitioned — the same layout a batch groupBy would shuffle,
+    but amortized incrementally per micro-batch.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    fps = stream_docs.select(
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, 4))
+        ).alias("fp"),
+        "doc_id",
+    )
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        (seen,) = state.get if state.exists else (0,)
+        rows = []
+        for pdf in pdfs:
+            for did in sorted(int(d) for d in pdf["doc_id"]):
+                rows.append((key[0], did, seen == 0))
+                seen += 1
+        state.update((seen,))
+        yield pd.DataFrame(rows, columns=["fp", "doc_id", "is_first"])
+
+    return fps.groupBy("fp").applyInPandasWithState(
+        fn,
+        DEDUP_OUT_SCHEMA,
+        DEDUP_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_counts(
     spark: SparkSession,
     events_path: str,

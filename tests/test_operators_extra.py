@@ -527,3 +527,47 @@ def test_two_stage_rec_batch_by_image_equals_fused(spark, docs_df, extracted):
         docs_df, PipelineConfig(split_stages=True, rec_batch_by_image=True)
     )
     assert key(split) == key(extracted)
+
+
+def test_streaming_stateful_exact_dedup(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: a duplicate arriving in
+    a LATER micro-batch must be flagged against state from an earlier
+    one (the stateful operator a streaming training-data pipeline needs;
+    batch analog is the `dedup_exact` oracle query)."""
+    import os as _os
+
+    import pandas as pd
+
+    from onnxocr_spark.streaming.extract import streaming_exact_dedup
+
+    src = str(tmp_path / "docs")
+    _os.makedirs(src)
+    files = [
+        [(0, "a b c d x0"), (1, "p q r s y0")],
+        [(2, "a b c d z1"), (3, "unique text here now t")],
+        [(4, "a b c d w2"), (5, "p q r s t2")],
+    ]
+    for i, rows in enumerate(files):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            f"{src}/part-{i}.parquet"
+        )
+        _os.utime(f"{src}/part-{i}.parquet", (1000 * (i + 1), 1000 * (i + 1)))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")  # one file per micro-batch:
+        .parquet(src)                        # state must carry across
+    )
+    out = streaming_exact_dedup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedupstream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r.doc_id: r.is_first for r in spark.sql(
+        "SELECT * FROM dedupstream").collect()}
+    assert got == {0: True, 1: True, 2: False, 3: True, 4: False, 5: False}
