@@ -48,7 +48,22 @@ def connected_components_with_runs(
     (ymin, xmin) for determinism.
     """
     h, w = mask.shape
-    parent: list[int] = []
+    # all runs of every row in two vectorized passes: pad with a zero
+    # column on both sides, diff along x — +1 marks a run start, -1 the
+    # (exclusive) end. np.nonzero is row-major, so starts[k]/ends[k]
+    # pair up per run. (The previous per-row diff/flatnonzero spent ~6
+    # numpy-call overheads per foreground row — 39% of per-image time.)
+    pad = np.zeros((h, w + 2), dtype=np.int8)
+    pad[:, 1:-1] = mask
+    d = np.diff(pad, axis=1)
+    sy, sx = np.nonzero(d == 1)
+    ex = np.nonzero(d == -1)[1]
+    n = len(sy)
+    if n == 0:
+        return []
+    sy_l, sx_l, ex_l = sy.tolist(), sx.tolist(), ex.tolist()
+
+    parent = list(range(n))
 
     def find(a: int) -> int:
         while parent[a] != a:
@@ -56,58 +71,45 @@ def connected_components_with_runs(
             a = parent[a]
         return a
 
-    def union(a: int, b: int) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    runs_by_row: dict[int, list[tuple[int, int, int]]] = {}
-    prev: list[tuple[int, int, int]] = []
+    # union runs of adjacent rows whose intervals overlap when widened
+    # by 1 (8-connectivity); pure-int merge over the row-major run list
+    prev_i = prev_j = 0
     prev_y = -2
-    # visit only rows with any foreground (vectorized row-any precompute)
-    for y in np.flatnonzero(mask.any(axis=1)).tolist():
-        if y != prev_y + 1:
-            prev = []  # a row gap breaks 8-connectivity
-        prev_y = y
-        row = mask[y]
-        d = np.diff(row.astype(np.int8))
-        starts = np.flatnonzero(d == 1) + 1
-        ends = np.flatnonzero(d == -1) + 1
-        if row[0]:
-            starts = np.concatenate(([0], starts))
-        if row[-1]:
-            ends = np.concatenate((ends, [w]))
-        cur: list[tuple[int, int, int]] = []
-        for s, e in zip(starts.tolist(), ends.tolist()):
-            rid = len(parent)
-            parent.append(rid)
-            cur.append((s, e, rid))
-        # 8-connectivity: runs touch if intervals overlap when widened by 1
-        i = j = 0
-        while i < len(prev) and j < len(cur):
-            ps, pe, prid = prev[i]
-            cs, ce, crid = cur[j]
-            if ps - 1 < ce and cs - 1 < pe:
-                union(prid, crid)
-            if pe < ce:
-                i += 1
-            else:
-                j += 1
-        runs_by_row[y] = cur
-        prev = cur
+    i = 0
+    while i < n:
+        y = sy_l[i]
+        j = i + 1
+        while j < n and sy_l[j] == y:
+            j += 1
+        if y == prev_y + 1:
+            a, b = prev_i, i
+            while a < prev_j and b < j:
+                if sx_l[a] - 1 < ex_l[b] and sx_l[b] - 1 < ex_l[a]:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+                if ex_l[a] < ex_l[b]:
+                    a += 1
+                else:
+                    b += 1
+        prev_i, prev_j, prev_y = i, j, y
+        i = j
 
-    groups: dict[int, list[tuple[int, int, int]]] = {}
-    for y, runs in runs_by_row.items():
-        for s, e, rid in runs:
-            groups.setdefault(find(rid), []).append((y, s, e))
+    groups: dict[int, list[int]] = {}
+    for k in range(n):
+        groups.setdefault(find(k), []).append(k)
 
     comps = []
-    for root in sorted(groups, key=lambda r: (groups[r][0][0], groups[r][0][1])):
-        pts = []
-        for y, s, e in groups[root]:
-            pts.append((s, y))
-            pts.append((e - 1, y))
-        comps.append((np.array(pts, dtype=np.float32), groups[root]))
+    for root in sorted(groups, key=lambda r: (sy_l[groups[r][0]], sx_l[groups[r][0]])):
+        idxs = groups[root]
+        runs = [(sy_l[k], sx_l[k], ex_l[k]) for k in idxs]
+        arr = np.array(idxs)
+        pts = np.empty((2 * len(idxs), 2), dtype=np.float32)
+        pts[0::2, 0] = sx[arr]
+        pts[0::2, 1] = sy[arr]
+        pts[1::2, 0] = ex[arr] - 1
+        pts[1::2, 1] = sy[arr]
+        comps.append((pts, runs))
     return comps
 
 
@@ -156,10 +158,14 @@ def min_area_rect(points: np.ndarray) -> tuple[np.ndarray, float]:
     x0, x1 = float(xs.min()), float(xs.max())
     y0, y1 = float(ys.min()), float(ys.max())
     if x1 > x0 and y1 > y0:
-        at_x0 = np.isclose(xs, x0)
-        at_x1 = np.isclose(xs, x1)
-        at_y0 = np.isclose(ys, y0)
-        at_y1 = np.isclose(ys, y1)
+        # exact compare: inputs are run endpoints / hull corners with
+        # integer-valued coords; a float miss only falls back to the
+        # calipers, which return the identical rect (np.isclose here
+        # cost more than the calipers it skipped)
+        at_x0 = xs == x0
+        at_x1 = xs == x1
+        at_y0 = ys == y0
+        at_y1 = ys == y1
         if (
             bool((at_x0 & at_y0).any())
             and bool((at_x1 & at_y0).any())

@@ -84,15 +84,20 @@ def decode_bar_gray(gray: np.ndarray) -> str:
     y_c = r0 + bh / 2.0
     chars: list[str] = []
     h, w = gray.shape
-    digits: list[int] = []
-    for i in range(n_cells):
-        x_c = c0 + (i + 0.5) * bw / n_cells
-        yi, xi = int(round(y_c)), int(round(x_c))
-        patch = gray[
-            max(0, yi - 1) : min(h, yi + 2), max(0, xi - 1) : min(w, xi + 2)
-        ]
-        v = float(patch.mean()) * 255.0
-        digits.append(int(np.clip(round((v - LEVEL0) / LEVEL_STEP), 0, 15)))
+    # all cells share the same 3-row band (yi constant per bar); one
+    # column cumsum turns the per-cell 3×3 patch means into a vector
+    # gather (the per-cell ndarray.mean loop dominated rec-stub time)
+    yi = int(round(y_c))
+    r0b, r1b = max(0, yi - 1), min(h, yi + 2)
+    colsum = gray[r0b:r1b, :].sum(axis=0, dtype=np.float64)
+    prefix = np.concatenate(([0.0], np.cumsum(colsum)))
+    xs = np.round(c0 + (np.arange(n_cells) + 0.5) * bw / n_cells).astype(int)
+    a = np.maximum(0, xs - 1)
+    b = np.minimum(w, xs + 2)
+    v = (prefix[b] - prefix[a]) / ((r1b - r0b) * (b - a)) * 255.0
+    digits = np.clip(np.round((v - LEVEL0) / LEVEL_STEP), 0, 15).astype(
+        int
+    ).tolist()
     for k in range(0, len(digits) - 1, 2):
         idx = digits[k] * 16 + digits[k + 1]
         if 0 <= idx < len(ASCII_STUB):
