@@ -4,10 +4,13 @@ Mirrors get_rotate_crop_image (/root/reference/onnxocr/utils.py:12-53):
 4-pt quad → perspective warp to an axis-aligned (w,h) rect where
 w = max(|p0p1|, |p2p3|), h = max(|p0p3|, |p1p2|); border replicate;
 auto-rot90 when h/w ≥ 1.5. The reference uses cv2.getPerspectiveTransform
-+ warpPerspective(INTER_CUBIC); here the homography is solved with
-numpy.linalg and sampling is bilinear with clamped (replicated) borders —
-a documented interpolation-order deviation (cv2 absent in sandbox; the
-deterministic stub models are tolerant to it by construction).
++ warpPerspective(INTER_CUBIC, BORDER_REPLICATE); here the homography is
+solved with numpy.linalg and sampling defaults to Keys bicubic with
+a = -0.75 (cv2's cubic kernel) over clamped (replicated) borders.
+Remaining documented deviation: float-precision cubic vs cv2's 5-bit
+fixed-point interpolation tables (≤1 intensity level; cv2 absent in
+sandbox, the stub models are tolerant by construction). Bilinear stays
+available via interpolation="bilinear".
 """
 
 from __future__ import annotations
@@ -61,7 +64,25 @@ def _axis_aligned_int_box(pts: np.ndarray) -> tuple[int, int, int, int] | None:
     return None
 
 
-def get_rotate_crop_image(img: np.ndarray, points: np.ndarray) -> np.ndarray:
+def _keys_cubic_weights(f: np.ndarray):
+    """Keys bicubic weights for the 4 taps around a sample with
+    fractional offset f ∈ [0,1): distances (1+f, f, 1-f, 2-f), kernel
+    W(x) = (a+2)|x|³-(a+3)|x|²+1 for |x|≤1, a(|x|³-5|x|²+8|x|-4) for
+    1<|x|<2, with a = -0.75 (OpenCV's coefficient)."""
+    a = -0.75
+    d0 = 1.0 + f
+    d3 = 2.0 - f
+    w0 = a * (d0 * d0 * d0 - 5.0 * d0 * d0 + 8.0 * d0 - 4.0)
+    w1 = (a + 2.0) * f * f * f - (a + 3.0) * f * f + 1.0
+    d2 = 1.0 - f
+    w2 = (a + 2.0) * d2 * d2 * d2 - (a + 3.0) * d2 * d2 + 1.0
+    w3 = a * (d3 * d3 * d3 - 5.0 * d3 * d3 + 8.0 * d3 - 4.0)
+    return w0, w1, w2, w3
+
+
+def get_rotate_crop_image(
+    img: np.ndarray, points: np.ndarray, interpolation: str = "cubic"
+) -> np.ndarray:
     assert len(points) == 4, "shape of points must be 4*2"
     pts = np.asarray(points, dtype=np.float64)
     aa = _axis_aligned_int_box(pts)
@@ -95,17 +116,35 @@ def get_rotate_crop_image(img: np.ndarray, points: np.ndarray) -> np.ndarray:
     y0 = np.floor(sy).astype(np.int64)
     fx = sx - x0
     fy = sy - y0
-    x0c = np.clip(x0, 0, w - 1)
-    x1c = np.clip(x0 + 1, 0, w - 1)
-    y0c = np.clip(y0, 0, h - 1)
-    y1c = np.clip(y0 + 1, 0, h - 1)
 
     a = img.astype(np.float32)
-    wx = fx[..., None] if a.ndim == 3 else fx
-    wy = fy[..., None] if a.ndim == 3 else fy
-    top = a[y0c, x0c] * (1 - wx) + a[y0c, x1c] * wx
-    bot = a[y1c, x0c] * (1 - wx) + a[y1c, x1c] * wx
-    out = top * (1 - wy) + bot * wy
+    if interpolation == "cubic":
+        # 4×4 Keys bicubic, replicate border via index clamping
+        wxs = _keys_cubic_weights(fx)
+        wys = _keys_cubic_weights(fy)
+        if a.ndim == 3:
+            wxs = [wv[..., None] for wv in wxs]
+            wys = [wv[..., None] for wv in wys]
+        xcs = [np.clip(x0 + j, 0, w - 1) for j in (-1, 0, 1, 2)]
+        ycs = [np.clip(y0 + i, 0, h - 1) for i in (-1, 0, 1, 2)]
+        out = None
+        for wy_i, yc in zip(wys, ycs):
+            row = None
+            for wx_j, xc in zip(wxs, xcs):
+                term = a[yc, xc] * wx_j
+                row = term if row is None else row + term
+            term = row * wy_i
+            out = term if out is None else out + term
+    else:
+        x0c = np.clip(x0, 0, w - 1)
+        x1c = np.clip(x0 + 1, 0, w - 1)
+        y0c = np.clip(y0, 0, h - 1)
+        y1c = np.clip(y0 + 1, 0, h - 1)
+        wx = fx[..., None] if a.ndim == 3 else fx
+        wy = fy[..., None] if a.ndim == 3 else fy
+        top = a[y0c, x0c] * (1 - wx) + a[y0c, x1c] * wx
+        bot = a[y1c, x0c] * (1 - wx) + a[y1c, x1c] * wx
+        out = top * (1 - wy) + bot * wy
     if np.issubdtype(img.dtype, np.integer):
         out = np.clip(np.rint(out), 0, 255)
     dst_img = out.astype(img.dtype)
