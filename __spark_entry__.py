@@ -805,6 +805,43 @@ _FINGERPRINT = """
 SELECT doc_id, md5(lower(text)) AS fp FROM documents
 """
 
+# Repetition quality filter (Gopher-style): fraction of bigrams taken by
+# the most frequent bigram + distinct-bigram ratio. Narrow bigram
+# explode → two map-side-combined groupBys; ratios emitted as raw
+# single-op divisions (bit-identical across engines, see CLAUDE.md
+# float-boundary rules).
+_REPETITION_SPARK = """
+WITH b AS (
+  SELECT doc_id, explode(transform(sequence(1, size(t) - 1),
+                                   i -> concat_ws(' ', t[i-1], t[i]))) AS bg
+  FROM (SELECT doc_id, split(text, ' ') AS t FROM documents)
+  WHERE size(t) >= 2
+),
+c AS (SELECT doc_id, bg, count(*) AS n FROM b GROUP BY doc_id, bg)
+SELECT doc_id,
+       CAST(MAX(n) AS BIGINT) AS top_bigram_n,
+       CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_bigram_frac,
+       CAST(COUNT(*) AS DOUBLE) / SUM(n) AS distinct_bigram_ratio
+FROM c GROUP BY doc_id
+"""
+_REPETITION_DUCK = """
+WITH b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(2, len(t) + 1),
+                               i -> t[i-1] || ' ' || t[i])) AS bg
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 2
+),
+c AS (SELECT doc_id, bg, count(*) AS n FROM b GROUP BY doc_id, bg)
+SELECT doc_id,
+       CAST(MAX(n) AS BIGINT) AS top_bigram_n,
+       CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_bigram_frac,
+       CAST(COUNT(*) AS DOUBLE) / SUM(n) AS distinct_bigram_ratio
+FROM c GROUP BY doc_id
+"""
+
 
 
 def q_ocr_media_structure_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1209,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _sqlq(_TOKEN_COUNT_SPARK),
         "top_terms": _sqlq(_TOP_TERMS_SPARK),
         "quality_score_full": _sqlq(_QUALITY_FULL_SPARK),
+        "quality_repetition": _sqlq(_REPETITION_SPARK),
         "doc_fingerprint": _sqlq(_FINGERPRINT),
         "doc_rolling_hash": _sqlq(_ROLLHASH_SPARK),
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1253,6 +1291,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": _TOKEN_COUNT_DUCK,
         "top_terms": _TOP_TERMS_DUCK,
         "quality_score_full": _QUALITY_FULL_DUCK,
+        "quality_repetition": _REPETITION_DUCK,
         "doc_fingerprint": _FINGERPRINT,
         "doc_rolling_hash": _ROLLHASH_DUCK,
         "dedup_embedding_cosine": _EMB_COS_PAIRS_DUCK,
