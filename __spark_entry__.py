@@ -523,6 +523,36 @@ FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
 """.format(minhash=_MINHASH_DUCK.strip())
 
+def q_dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters → keeper: connected components over the banded
+    MinHash-LSH pairs by iterative min-label propagation (the step that
+    turns near-dup PAIRS into per-cluster survivors; A~B, B~C must
+    retire C even though (A,C) was never emitted). Iterative algorithm →
+    verified against a DuckDB recursive-CTE transitive closure."""
+    from onnxocr_spark.operators.dedup import connected_component_keepers
+
+    _register(spark, sf_dir)
+    pairs = spark.sql(_LSH_SPARK)
+    return connected_component_keepers(pairs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("keeper").cast("bigint").alias("keeper"),
+    )
+
+
+_KEEPERS_DUCK = """
+WITH RECURSIVE pairs AS ({lsh}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+reach(v, l) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.v
+)
+SELECT CAST(v AS BIGINT) AS doc_id, CAST(MIN(l) AS BIGINT) AS keeper
+FROM reach GROUP BY v
+""".format(lsh=_LSH_DUCK.strip())
+
+
 # SimHash: 48-bit fingerprint from token hashes (hex-prefix of md5).
 # Single-shuffle plan (VERDICT r1 item 4): tokens explode narrowly, the
 # 48 bit-votes are 48 codegen'd SUM aggregates in ONE map-side-combined
@@ -1231,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _sqlq(_DEDUP_EXACT_SPARK),
         "dedup_minhash_sig": _sqlq(_MINHASH_SPARK),
         "dedup_minhash_lsh_pairs": _sqlq(_LSH_SPARK),
+        "dedup_cluster_keepers": q_dedup_cluster_keepers,
         "dedup_simhash": _sqlq(_SIMHASH_SPARK),
         "ngram_jaccard_pairs": _sqlq(_JACCARD_SPARK),
         "embedding_cosine_topk": q_cosine_topk,
@@ -1281,6 +1312,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_DUCK,
         "dedup_minhash_sig": _MINHASH_DUCK,
         "dedup_minhash_lsh_pairs": _LSH_DUCK,
+        "dedup_cluster_keepers": _KEEPERS_DUCK,
         "dedup_simhash": _SIMHASH_DUCK,
         "ngram_jaccard_pairs": _JACCARD_DUCK,
         "embedding_cosine_topk": _COSINE_DUCK,

@@ -571,3 +571,20 @@ def test_streaming_stateful_exact_dedup(spark, tmp_path):
     got = {r.doc_id: r.is_first for r in spark.sql(
         "SELECT * FROM dedupstream").collect()}
     assert got == {0: True, 1: True, 2: False, 3: True, 4: False, 5: False}
+
+
+def test_connected_component_keepers_transitive(spark):
+    """A~B, B~C must put C under A's keeper even though (A,C) was never
+    a pair (the property pair-based dedup misses without the component
+    step); disjoint cluster keeps its own keeper; a long chain needs
+    multiple propagation rounds and still converges."""
+    from onnxocr_spark.operators.dedup import connected_component_keepers
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.keeper
+           for r in connected_component_keepers(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20, 24: 20}
