@@ -835,6 +835,41 @@ _FINGERPRINT = """
 SELECT doc_id, md5(lower(text)) AS fp FROM documents
 """
 
+# HTML main-content extraction (north-rule boilerplate strip / DOM
+# heuristics): pages are synthesized around each document's text with
+# generic web chrome (nav, aside link list, heading, footer); the
+# operator must recover the content using only its generic readability
+# heuristics (tag-based element drops + block link-density scoring) —
+# nothing in operators/html.py knows this template. Oracle = the
+# original text (empty when shorter than the operator's 25-char floor).
+_HTML_SYNTH_SPARK = """
+SELECT doc_id,
+       concat('<html><head><title>Doc ', CAST(doc_id AS STRING),
+              '</title></head><body>',
+              '<nav><a href="/">Home</a> <a href="/about">About</a>',
+              ' <a href="/contact">Contact us now</a></nav>',
+              '<div id="wrap"><aside><ul><li><a href="/r1">Related article one</a></li>',
+              '<li><a href="/r2">Related article two</a></li></ul></aside>',
+              '<article><h1>Doc ', CAST(doc_id AS STRING), '</h1><p>',
+              text, '</p></article></div>',
+              '<footer><p>Copyright 2026 Example Corp. All rights reserved.</p></footer>',
+              '</body></html>') AS html
+FROM documents
+"""
+_HTML_MAIN_DUCK = """
+SELECT doc_id,
+       CASE WHEN length(text) >= 25 THEN text ELSE '' END AS main_text
+FROM documents
+"""
+
+
+def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from onnxocr_spark.operators.html import html_main_content
+
+    _register(spark, sf_dir)
+    pages = spark.sql(_HTML_SYNTH_SPARK)
+    return html_main_content(pages).select("doc_id", "main_text")
+
 # Repetition quality filter (Gopher-style): fraction of bigrams taken by
 # the most frequent bigram + distinct-bigram ratio. Narrow bigram
 # explode → two map-side-combined groupBys; ratios emitted as raw
@@ -1278,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": _sqlq(_TOP_TERMS_SPARK),
         "quality_score_full": _sqlq(_QUALITY_FULL_SPARK),
         "quality_repetition": _sqlq(_REPETITION_SPARK),
+        "html_main_content": q_html_main_content,
         "doc_fingerprint": _sqlq(_FINGERPRINT),
         "doc_rolling_hash": _sqlq(_ROLLHASH_SPARK),
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1324,6 +1360,7 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": _TOP_TERMS_DUCK,
         "quality_score_full": _QUALITY_FULL_DUCK,
         "quality_repetition": _REPETITION_DUCK,
+        "html_main_content": _HTML_MAIN_DUCK,
         "doc_fingerprint": _FINGERPRINT,
         "doc_rolling_hash": _ROLLHASH_DUCK,
         "dedup_embedding_cosine": _EMB_COS_PAIRS_DUCK,

@@ -588,3 +588,35 @@ def test_connected_component_keepers_transitive(spark):
            for r in connected_component_keepers(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20, 23: 20, 24: 20}
+
+
+# ----------------------------------------------------- HTML extraction
+def test_extract_main_content_heuristics():
+    """Generic readability heuristics on a handcrafted page: chrome
+    elements dropped by tag (even nested), link-dense blocks dropped by
+    density, comments/entities handled, content preserved verbatim."""
+    from onnxocr_spark.operators.html import extract_main_content
+
+    page = (
+        "<html><head><title>T</title><style>p{color:red}</style></head><body>"
+        "<nav><a href='/'>Home</a><a href='/x'>Archive pages</a></nav>"
+        "<div><aside><div><a href='/r'>Deeply nested related list</a></div></aside>"
+        "<!-- tracking comment -->"
+        "<article><p>The first real paragraph has plenty of visible text.</p>"
+        "<p>Second paragraph mentions Tom &amp; Jerry &lt;quoted&gt;.</p>"
+        "<p>See <a href='/a'>one tiny link</a> inside a long enough sentence "
+        "that stays below the density threshold.</p>"
+        "<p><a href='/b'>Click here</a> <a href='/c'>or maybe here instead</a></p>"
+        "</article></div>"
+        "<footer><p>Copyright 2026 Example Corp. All rights reserved.</p></footer>"
+        "</body></html>"
+    )
+    out = extract_main_content(page)
+    lines = out.split("\n")
+    assert lines[0] == "The first real paragraph has plenty of visible text."
+    assert lines[1] == "Second paragraph mentions Tom & Jerry <quoted>."
+    assert lines[2].startswith("See one tiny link inside")
+    assert len(lines) == 3  # link-farm block, nav, aside, footer all gone
+    assert "Copyright" not in out and "Home" not in out
+    assert extract_main_content("") == ""
+    assert extract_main_content("<p>short</p>") == ""
