@@ -51,11 +51,13 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_sig",
     "dedup_minhash_lsh_pairs",
+    "dedup_cluster_keepers",
     "dedup_simhash",
     "ngram_jaccard_pairs",
     "dedup_embedding_cosine",
     "embedding_cosine_topk",
     "pdf_pages_text",
+    "html_main_content",
     "quality_score",
     "token_count",
 ]

@@ -24,12 +24,16 @@ FAST_ORACLE_QUERIES = [
     "dedup_exact",
     "dedup_simhash",
     "dedup_minhash_lsh_pairs",
+    "dedup_cluster_keepers",
     "ngram_jaccard_pairs",
     "dedup_embedding_cosine",
     "embedding_cosine_topk",
     "quality_score",
+    "quality_repetition",
     "token_count",
     "doc_fingerprint",
+    "html_main_content",
+    "pdf_pages_text",
 ]
 
 

@@ -62,9 +62,10 @@ def test_dedup_plans_have_no_blowup_shapes(spark):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoop" not in plan, name
 
-    # simhash: narrow explode + single hash aggregate, nothing else
+    # simhash: input fan-out repartition (scan may be one split locally)
+    # + the single partial-agg shuffle, nothing else
     sim = _plan(qs["dedup_simhash"](spark, sf))
-    assert sim.count("Exchange") <= 1, "simhash must shuffle at most once"
+    assert sim.count("Exchange") <= 2, "simhash must shuffle at most twice"
     # minhash signatures: one partial-agg shuffle, no joins at all
     mh = _plan(qs["dedup_minhash_sig"](spark, sf))
     assert "Join" not in mh, "minhash must not self-join tokens"
