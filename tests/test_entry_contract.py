@@ -85,3 +85,22 @@ def test_entry_smoke(spark):
     assert df.count() > 0
     fields = [f.name for f in df.schema["spans"].dataType.elementType.fields]
     assert fields == ["kind", "text", "media_ref", "offset"]
+
+
+def test_all_query_outputs_are_canonicalizable(spark):
+    """Round 1's only red row was a list-typed column the driver's
+    pandas canonicalizer cannot hash. Guard the whole battery: every
+    queries() output schema must be flat scalar types (no arrays, maps,
+    structs, or binary)."""
+    from pyspark.sql.types import (
+        ArrayType, BinaryType, MapType, StructType,
+    )
+
+    banned = (ArrayType, MapType, StructType, BinaryType)
+    for name, fn in em.queries().items():
+        df = fn(spark, SF)
+        for f in df.schema.fields:
+            assert not isinstance(f.dataType, banned), (
+                f"{name}.{f.name} is {f.dataType.simpleString()} — "
+                "not hashable by the driver's canonicalizer"
+            )
