@@ -620,3 +620,25 @@ def test_extract_main_content_heuristics():
     assert "Copyright" not in out and "Home" not in out
     assert extract_main_content("") == ""
     assert extract_main_content("<p>short</p>") == ""
+
+
+def test_pdf_container_truncation_yields_error_rows(spark):
+    """Truncated / lying-length containers must surface as ok=false rows
+    (struct.error / corrupt blob caught per row), never task failures."""
+    from onnxocr_spark.operators.sources import (
+        encode_pages_container, pdf_to_pages,
+    )
+
+    good = encode_pages_container([render_media("doc_000000000001", 0)])
+    rows = [
+        ("truncated_header", good[:6]),
+        ("truncated_blob", good[: len(good) // 2]),
+        ("lying_count", good[:4] + b"\xff\xff\xff\xff" + good[8:]),
+        ("ok_doc", good),
+    ]
+    out = {r.doc_id: r for r in pdf_to_pages(
+        spark.createDataFrame(rows, "doc_id string, pdf_bytes binary")
+    ).collect()}
+    assert out["ok_doc"].ok and out["ok_doc"].page_no == 0
+    for bad in ("truncated_header", "truncated_blob", "lying_count"):
+        assert not out[bad].ok and out[bad].page_no == -1, bad
