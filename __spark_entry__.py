@@ -554,6 +554,47 @@ FROM reach GROUP BY v
 """.format(lsh=_LSH_DUCK.strip())
 
 
+def q_dedup_cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end product of the near-dup pipeline: the corpus with every
+    non-keeper cluster member retired (left-anti join against the
+    keeper table — the same anti-join shape the ledger resume uses).
+    Returns survivors' ids + a fingerprint of their text so the hash
+    gate checks content survival, not just ids."""
+    from onnxocr_spark.operators.dedup import connected_component_keepers
+
+    _register(spark, sf_dir)
+    pairs = spark.sql(_LSH_SPARK)
+    retired = connected_component_keepers(pairs).filter(
+        F.col("doc_id") != F.col("keeper")
+    ).select("doc_id")
+    docs = spark.table("documents").select("doc_id", "text")
+    return (
+        docs.join(retired, "doc_id", "left_anti")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.md5("text").alias("text_fp"),
+        )
+    )
+
+
+_CLEANED_DUCK = """
+WITH RECURSIVE pairs AS ({lsh}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+reach(v, l) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.v
+),
+retired AS (
+  SELECT v AS doc_id FROM reach GROUP BY v HAVING v <> MIN(l)
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, md5(d.text) AS text_fp
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM retired)
+""".format(lsh=_LSH_DUCK.strip())
+
+
 # SimHash: 48-bit fingerprint from token hashes (hex-prefix of md5).
 # Single-shuffle plan (VERDICT r1 item 4): tokens explode narrowly, the
 # 48 bit-votes are 48 codegen'd SUM aggregates in ONE map-side-combined
@@ -1303,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": _sqlq(_MINHASH_SPARK),
         "dedup_minhash_lsh_pairs": _sqlq(_LSH_SPARK),
         "dedup_cluster_keepers": q_dedup_cluster_keepers,
+        "dedup_cleaned_corpus": q_dedup_cleaned_corpus,
         "dedup_simhash": _sqlq(_SIMHASH_SPARK),
         "ngram_jaccard_pairs": _sqlq(_JACCARD_SPARK),
         "embedding_cosine_topk": q_cosine_topk,
@@ -1355,6 +1397,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_sig": _MINHASH_DUCK,
         "dedup_minhash_lsh_pairs": _LSH_DUCK,
         "dedup_cluster_keepers": _KEEPERS_DUCK,
+        "dedup_cleaned_corpus": _CLEANED_DUCK,
         "dedup_simhash": _SIMHASH_DUCK,
         "ngram_jaccard_pairs": _JACCARD_DUCK,
         "embedding_cosine_topk": _COSINE_DUCK,
