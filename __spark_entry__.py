@@ -878,6 +878,28 @@ SELECT doc_id,
 FROM documents
 """
 
+# BPE-ish pre-tokenizer count (GPT-2-style split: contractions, letter
+# runs, digit runs, symbol runs, whitespace runs) — the token-budget
+# estimate a training pipeline runs before the real tokenizer. The
+# pattern avoids every PCRE/RE2/Java dialect divergence (no lookaround,
+# no backrefs) so both engines count identically.
+_BPE_PATTERN = (
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+)
+_TOKEN_BPE_SPARK = f"""
+SELECT doc_id,
+       CAST(regexp_count(text, "{_BPE_PATTERN}") AS BIGINT) AS n_bpe,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+_TOKEN_BPE_DUCK = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_PATTERN.replace("'", "''")}'))
+            AS BIGINT) AS n_bpe,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
 _FINGERPRINT = """
 SELECT doc_id, md5(lower(text)) AS fp FROM documents
 """
@@ -1358,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_frames": q_multimodal_video_frames,
         "quality_score": _sqlq(_QUALITY_SPARK),
         "token_count": _sqlq(_TOKEN_COUNT_SPARK),
+        "token_count_bpe": _sqlq(_TOKEN_BPE_SPARK),
         "top_terms": _sqlq(_TOP_TERMS_SPARK),
         "quality_score_full": _sqlq(_QUALITY_FULL_SPARK),
         "quality_repetition": _sqlq(_REPETITION_SPARK),
@@ -1406,6 +1429,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_ngram": _lang_id_ngram_duck(),
         "quality_score": _QUALITY_DUCK,
         "token_count": _TOKEN_COUNT_DUCK,
+        "token_count_bpe": _TOKEN_BPE_DUCK,
         "top_terms": _TOP_TERMS_DUCK,
         "quality_score_full": _QUALITY_FULL_DUCK,
         "quality_repetition": _REPETITION_DUCK,
