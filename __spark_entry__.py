@@ -1218,6 +1218,37 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(_synthetic_media(spark, sf_dir))
 
 
+def q_multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed slice of the image branch: the real decode →
+    feature UDF must report dimensions matching the analytic canvas
+    geometry (bar width 2·CELL_W·len(line) = 384 + 2·32 margin → 448;
+    height 2·32 + k·BAR_H + (k-1)·GAP = 96k for k sha-derived lines)."""
+    from onnxocr_spark.operators.multimodal import image_features
+
+    feats = image_features(_synthetic_media(spark, sf_dir))
+    return feats.filter("ok").select(
+        "media_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("channels").cast("bigint").alias("channels"),
+    )
+
+
+_IMAGE_DIMS_DUCK = """
+WITH k AS (
+  SELECT doc_id,
+         2 + ('0x' || substr(sha256(printf('doc_%012d', doc_id)
+                  || '/0/lines'), 1, 16))::UBIGINT % 3 AS kl
+  FROM documents WHERE doc_id < 60 AND doc_id % 3 = 0
+)
+SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(448 AS BIGINT) AS width,
+       CAST(96 * kl AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS channels
+FROM k
+"""
+
+
 def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from onnxocr_spark.operators.multimodal import audio_features
 
@@ -1376,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _sqlq(_LANG_ID),
         "lang_id_ngram": q_lang_id_ngram,
         "multimodal_image_features": q_multimodal_image_features,
+        "multimodal_image_dims": q_multimodal_image_dims,
         "multimodal_audio_features": q_multimodal_audio_features,
         "multimodal_video_frames": q_multimodal_video_frames,
         "quality_score": _sqlq(_QUALITY_SPARK),
@@ -1427,6 +1459,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norm_stats": _EMB_NORM_DUCK,
         "lang_id": _LANG_ID,
         "lang_id_ngram": _lang_id_ngram_duck(),
+        "multimodal_image_dims": _IMAGE_DIMS_DUCK,
         "quality_score": _QUALITY_DUCK,
         "token_count": _TOKEN_COUNT_DUCK,
         "token_count_bpe": _TOKEN_BPE_DUCK,
