@@ -197,3 +197,16 @@ def test_extreme_skew_single_doc_many_media(spark):
     for o, s in enumerate(got):
         assert s.offset == o
         assert s.text == expected_media_text("doc_000000000099", o, heavy=False)
+
+
+def test_run_extract_empty_input(spark):
+    """Zero documents in → zero documents out, no stage failures (the
+    resume path can legitimately produce an empty pending set)."""
+    from onnxocr_spark.pipeline import run_extract
+
+    empty = spark.createDataFrame(
+        [],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    assert run_extract(empty).count() == 0
