@@ -1296,6 +1296,29 @@ def q_ocr_boxes_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_annotated_boxes_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6/K7 annotated-image sink, hash-checkable surface: run the real
+    annotate pipeline (detect → outline → re-encode) over every media
+    span and emit the per-image box count, which the oracle re-derives
+    analytically (bars per image = sha-derived line count)."""
+    from onnxocr_spark.pipeline import explode_spans
+    from onnxocr_spark.sinks.formats import annotated_images
+
+    media = explode_spans(_derived_docs(spark, sf_dir)).filter("kind = 'media'")
+    out = annotated_images(media.select("doc_id", "offset", "media_ref"))
+    return out.filter(F.col("annotated").isNotNull()).select(
+        "doc_id",
+        F.col("offset").cast("bigint").alias("offset"),
+        F.col("n_boxes").cast("bigint").alias("n_boxes"),
+    )
+
+
+_ANNOTATED_COUNT_DUCK = _ANALYTIC_CTE + """
+SELECT did AS doc_id, moff AS "offset", CAST(k_lines AS BIGINT) AS n_boxes
+FROM m3 WHERE m = 1
+"""
+
+
 def q_pdf_pages_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 end-to-end: multi-page containers (PGZ1; %PDF takes the
     pymupdf branch in production) → pdf_to_pages rasterization → per-page
@@ -1377,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_text_sink": q_doc_text_sink,
         "hocr_sink": q_hocr_sink,
         "pdf_pages_text": q_pdf_pages_text,
+        "annotated_boxes_count": q_annotated_boxes_count,
         # relational skeleton
         "explode_tokens": _sqlq(_EXPLODE_SPARK),
         "restitch_docs": _sqlq(_RESTITCH_SPARK),
@@ -1435,6 +1459,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_text_sink": _DOC_TEXT_DUCK,
         "hocr_sink": _HOCR_DUCK,
         "pdf_pages_text": _PDF_PAGES_DUCK,
+        "annotated_boxes_count": _ANNOTATED_COUNT_DUCK,
         "explode_tokens": _EXPLODE_DUCK,
         "restitch_docs": _RESTITCH_DUCK,
         "ctc_dedupe_analog": _CTC_DUCK,

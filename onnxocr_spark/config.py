@@ -66,3 +66,9 @@ class PipelineConfig:
 
 
 DEFAULT_CONFIG = PipelineConfig()
+
+
+def str2bool(v: str) -> bool:
+    """CLI flag parsing (reference utils.py:247-248): true/t/1, case-
+    insensitive."""
+    return str(v).lower() in ("true", "t", "1")

@@ -102,3 +102,76 @@ def hocr(extracted: DataFrame) -> DataFrame:
             F.lit("</div></body></html>"),
         ).alias("hocr"),
     )
+
+
+def _draw_line(img: "np.ndarray", p0, p1, value: int = 255) -> None:
+    """1-px line rasterization (the cv2/PIL line analog) on an HWC
+    uint8 image, all channels set to `value`."""
+    import numpy as np
+
+    x0, y0 = float(p0[0]), float(p0[1])
+    x1, y1 = float(p1[0]), float(p1[1])
+    n = int(max(abs(x1 - x0), abs(y1 - y0))) + 1
+    xs = np.clip(np.rint(np.linspace(x0, x1, n)), 0, img.shape[1] - 1).astype(int)
+    ys = np.clip(np.rint(np.linspace(y0, y1, n)), 0, img.shape[0] - 1).astype(int)
+    img[ys, xs, :] = value
+
+
+def annotate_boxes(img: "np.ndarray", boxes) -> "np.ndarray":
+    """Copy of `img` with every detection quad outlined — the K6/K7
+    annotated-image debug sink (reference sav2Img/draw_ocr,
+    onnx_paddleocr.py:64-77 / utils.py:195-244, box overlay only: the
+    text-label half needs the simfang.ttf font, which is stripped from
+    the snapshot)."""
+    out = img.copy()
+    for box in boxes:
+        for i in range(4):
+            _draw_line(out, box[i], box[(i + 1) % 4])
+    return out
+
+
+def annotated_images(media: "DataFrame") -> "DataFrame":
+    """(doc_id, offset, media_ref[, media_bytes]) media rows →
+    (doc_id, offset, media_ref, annotated IMG1 bytes, n_boxes): run
+    detection, burn the boxes in, re-encode. Debug/QA sink — pixels are
+    produced *and consumed* inside the one UDF, nothing widens a
+    shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from onnxocr_spark.imagecodec import encode_image
+        from onnxocr_spark.kernels import sorted_boxes
+        from onnxocr_spark.ocr.textsystem import detect_boxes
+        from onnxocr_spark.operators.media import resolve_media
+
+        for pdf in batches:
+            has_bytes = "media_bytes" in pdf.columns
+            rows = []
+            for r in pdf.itertuples(index=False):
+                blob = getattr(r, "media_bytes", None) if has_bytes else None
+                img = resolve_media(r.media_ref, blob)
+                if img is None:
+                    rows.append((r.doc_id, r.offset, r.media_ref, None, -1))
+                    continue
+                boxes = [np.asarray(b, dtype=np.float64)
+                         for b in sorted_boxes(detect_boxes(img))]
+                rows.append((
+                    r.doc_id, r.offset, r.media_ref,
+                    encode_image(annotate_boxes(img, boxes)),
+                    len(boxes),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "offset", "media_ref", "annotated", "n_boxes"])
+
+    cols = ["doc_id", "offset", "media_ref"] + (
+        ["media_bytes"] if "media_bytes" in media.columns else []
+    )
+    return media.select(*cols).mapInPandas(
+        fn,
+        "doc_id string, offset int, media_ref string, annotated binary, "
+        "n_boxes int",
+    )

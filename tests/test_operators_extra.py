@@ -642,3 +642,34 @@ def test_pdf_container_truncation_yields_error_rows(spark):
     assert out["ok_doc"].ok and out["ok_doc"].page_no == 0
     for bad in ("truncated_header", "truncated_blob", "lying_count"):
         assert not out[bad].ok and out[bad].page_no == -1, bad
+
+
+def test_str2bool_reference_semantics():
+    from onnxocr_spark.config import str2bool
+
+    assert all(str2bool(v) for v in ("true", "True", "T", "t", "1"))
+    assert not any(str2bool(v) for v in ("false", "0", "no", "yes", ""))
+
+
+def test_annotated_images_sink(spark):
+    """K6/K7 debug sink: every detected bar outlined in-place; box count
+    equals the analytic line count; bytes decode back to the original
+    dims with changed pixels."""
+    import numpy as np
+
+    from onnxocr_spark.imagecodec import decode_image
+    from onnxocr_spark.sinks.formats import annotated_images
+
+    rows = [("doc_000000000004", 0, "img://doc_000000000004/0"),
+            ("doc_000000000008", 1, "img://doc_000000000008/1"),
+            ("bad", 2, "bogus://x")]
+    media = spark.createDataFrame(
+        rows, "doc_id string, offset int, media_ref string")
+    got = {(r.doc_id, r.offset): r for r in annotated_images(media).collect()}
+    assert got[("bad", 2)].n_boxes == -1 and got[("bad", 2)].annotated is None
+    for did, off in (("doc_000000000004", 0), ("doc_000000000008", 1)):
+        r = got[(did, off)]
+        assert r.n_boxes == len(media_lines(did, off))
+        orig = render_media(did, off)
+        ann = decode_image(r.annotated)
+        assert ann.shape == orig.shape and (ann != orig).any()
