@@ -175,3 +175,29 @@ def annotated_images(media: "DataFrame") -> "DataFrame":
         "doc_id string, offset int, media_ref string, annotated binary, "
         "n_boxes int",
     )
+
+
+def write_doc_text_zip(extracted: "DataFrame", out_dir: str) -> int:
+    """K2 zip sink: per-document .txt files packaged into zip archives,
+    one shard per partition (`shard-NNNNN.zip`) — the distributed analog
+    of the reference's single download zip (app/routers/v2.py zip
+    response): a single zip has a single writer, so a cluster job ships
+    shards and the serving layer concatenates entries on demand.
+    Returns the number of documents written."""
+    import os
+    import zipfile
+
+    per_doc = doc_text(extracted)
+
+    def write_shard(pid: int, it):
+        rows = list(it)
+        if rows:
+            os.makedirs(out_dir, exist_ok=True)
+            path = os.path.join(out_dir, f"shard-{pid:05d}.zip")
+            with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+                for r in rows:
+                    z.writestr(f"{r.doc_id}.txt", r.text or "")
+        yield len(rows)
+
+    counts = per_doc.rdd.mapPartitionsWithIndex(write_shard).collect()
+    return int(sum(counts))

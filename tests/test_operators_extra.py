@@ -673,3 +673,22 @@ def test_annotated_images_sink(spark):
         orig = render_media(did, off)
         ann = decode_image(r.annotated)
         assert ann.shape == orig.shape and (ann != orig).any()
+
+
+def test_doc_text_zip_shards(spark, extracted, tmp_path):
+    """K2 zip sink: shards round-trip — every doc becomes one .txt entry
+    whose content equals the doc_text sink row."""
+    import zipfile
+
+    from onnxocr_spark.sinks.formats import doc_text, write_doc_text_zip
+
+    out = str(tmp_path / "zips")
+    n = write_doc_text_zip(extracted, out)
+    exp = {r.doc_id: r.text for r in doc_text(extracted).collect()}
+    got = {}
+    import os
+    for f in sorted(os.listdir(out)):
+        with zipfile.ZipFile(os.path.join(out, f)) as z:
+            for name in z.namelist():
+                got[name[:-4]] = z.read(name).decode()
+    assert n == len(exp) and got == exp
