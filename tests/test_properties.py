@@ -120,3 +120,53 @@ def test_crop_shape_matches_box(x0, y0, w, h):
     if h * 1.0 / w >= 1.5:
         ch, cw = cw, ch  # rot90 applied
     assert (ch, cw) == (h, w)
+
+
+@given(
+    h=st.integers(8, 60),
+    w=st.integers(8, 60),
+    x0=st.integers(0, 20),
+    y0=st.integers(0, 20),
+    bw=st.integers(2, 30),
+    bh=st.integers(2, 30),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(**SETTINGS)
+def test_axis_aligned_int_crop_is_exact_slice(h, w, x0, y0, bw, bh, seed):
+    """The axis-aligned-integer fast path must equal a plain slice for
+    ANY in-bounds rect — i.e. the cubic default never perturbs the
+    overwhelmingly common case."""
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (max(h, y0 + bh), max(w, x0 + bw), 1), np.uint8)
+    box = np.array(
+        [[x0, y0], [x0 + bw, y0], [x0 + bw, y0 + bh], [x0, y0 + bh]],
+        dtype=np.float32,
+    )
+    crop = get_rotate_crop_image(img, box)
+    exp = img[y0 : y0 + bh, x0 : x0 + bw]
+    if bh / bw >= 1.5:
+        exp = np.rot90(exp)
+    assert (crop == exp).all()
+
+
+@given(
+    n_pages=st.integers(1, 6),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(**SETTINGS)
+def test_pages_container_roundtrip_property(n_pages, seed):
+    from onnxocr_spark.operators.sources import (
+        encode_pages_container, rasterize_pdf_bytes,
+    )
+
+    rng = np.random.RandomState(seed)
+    pages = [
+        rng.randint(0, 256,
+                    (int(rng.randint(4, 60)), int(rng.randint(4, 60)),
+                     int(rng.choice([1, 3]))), np.uint8)
+        for _ in range(n_pages)
+    ]
+    out = rasterize_pdf_bytes(encode_pages_container(pages))
+    assert len(out) == n_pages
+    for a, b in zip(pages, out):
+        assert a.shape == b.shape and (a == b).all()
