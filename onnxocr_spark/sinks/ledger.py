@@ -70,6 +70,31 @@ def write_with_ledger(
         )
         .first()
     )
+    # per-partition OCR metrics for this commit (north rule: every
+    # partition commit records lineage + metrics): one row per landed
+    # file partition — at Iceberg these rows fold into per-data-file
+    # column stats / snapshot summary entries
+    part_metrics = (
+        landed.withColumn("partition_id", F.spark_partition_id())
+        .select("partition_id", F.explode("spans").alias("s"))
+        .groupBy("partition_id")
+        .agg(
+            F.count("*").alias("spans"),
+            F.sum(F.when(F.col("s.kind") == "media", 1).otherwise(0)).alias(
+                "media_spans"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("s.kind") == "media") & (F.col("s.text") == ""), 1
+                ).otherwise(0)
+            ).alias("empty_media_spans"),
+            F.sum(F.length("s.text")).alias("chars"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+    )
+    part_dir = os.path.join(root, "metrics", f"run={run_id}")
+    part_metrics.write.mode("overwrite").parquet(part_dir)
+
     metrics = {
         "run_id": run_id,
         "source_path": source_path,
@@ -77,6 +102,7 @@ def write_with_ledger(
         "spans": int(n_spans or 0),
         "media_spans": int(n_media or 0),
         "empty_media_spans": int(n_empty_media or 0),
+        "n_partitions": part_metrics.count(),
         "wall_clock_unix": time.time(),
     }
     os.makedirs(os.path.join(root, "metrics"), exist_ok=True)

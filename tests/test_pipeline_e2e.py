@@ -210,3 +210,23 @@ def test_run_extract_empty_input(spark):
         "media_ref:string,offset:int>>",
     )
     assert run_extract(empty).count() == 0
+
+
+def test_ledger_per_partition_metrics(spark, docs_df, tmp_path):
+    """Every commit records per-partition OCR metrics whose totals must
+    reconcile with the run-level sidecar (north-rule lineage+metrics)."""
+    import json
+
+    from onnxocr_spark.pipeline import run_extract
+    from onnxocr_spark.sinks import write_with_ledger
+
+    root = str(tmp_path / "out")
+    m = write_with_ledger(run_extract(docs_df), root, run_id="pm1")
+    parts = spark.read.parquet(f"{root}/metrics/run=pm1")
+    agg = parts.groupBy().sum("spans", "media_spans", "empty_media_spans").first()
+    assert agg[0] == m["spans"]
+    assert agg[1] == m["media_spans"]
+    assert agg[2] == m["empty_media_spans"]
+    assert parts.count() == m["n_partitions"] >= 1
+    sidecar = json.load(open(f"{root}/metrics/run_pm1.json"))
+    assert sidecar["docs"] == m["docs"]
