@@ -47,6 +47,14 @@ def connected_component_keepers(
         F.least(F.min("b"), F.first("a")).alias("l")
     ).withColumnRenamed("a", "v").persist()
 
+    def _label_mass(df: DataFrame) -> object:
+        # labels only ever DECREASE under min-propagation, so the total
+        # label mass strictly decreases iff any vertex changed — a
+        # single tiny aggregate instead of a join-based diff per round.
+        # decimal(38,0): exact and overflow-free at 10^12-scale ids.
+        return df.agg(F.sum(F.col("l").cast("decimal(38,0)"))).first()[0]
+
+    mass = _label_mass(labels)
     for _ in range(max_iter):
         # propagate: each vertex takes min(own label, neighbors' labels)
         neigh = (
@@ -60,17 +68,12 @@ def connected_component_keepers(
             .select("v", F.least("l", F.coalesce("nl", "l")).alias("l"))
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.l") != F.col("o.l"))
-            .limit(1)
-            .count()
-        )
+        new_mass = _label_mass(new_labels)
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_mass == mass:
             break
+        mass = new_mass
     else:
         raise RuntimeError(f"label propagation did not converge in {max_iter} iters")
 
