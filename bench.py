@@ -31,14 +31,19 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # doc budget for the scaling runs: big enough that fixed per-job cost
 # (stage scheduling, AQE planning, final collect) is noise against the
 # measured window — after the round-2 kernel speedups, 20k docs ran in
-# ~14 s at local[16] and the fixed ~3 s ate the efficiency number; 60k
-# keeps the hi-level run near a minute
-SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "60000"))
-# N and 4N core counts for the scaling-efficiency evidence. Default 4→16
-# rather than 8→32: this 32-core box saturates its memory bandwidth near
-# full occupancy (~720 img/s), which would measure the hardware ceiling,
-# not the engine's scaling. Override: SPARK_GRAFT_SCALE_CORES="8,32".
-_SCALE_CORES = os.environ.get("SPARK_GRAFT_SCALE_CORES", "4,16")
+# ~14 s at the hi level and the fixed ~3 s ate the efficiency number;
+# 40k keeps the local[8] hi run near 45 s
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "40000"))
+# N and 4N core counts for the scaling-efficiency evidence. The hi level
+# must stay inside the host's linear region or the pair measures the
+# hardware ceiling, not the engine: r1 used 4→16 when the kernels ran
+# ~180 img/s/core; after the r2 kernel pass (~365 img/s/core) 16 procs
+# sits at the measured 32-proc bandwidth ceiling (~5.1k img/s) and the
+# host's high-occupancy throughput also decays under sustained load in
+# some windows (observed 3.8k→2.7k img/s across back-to-back rounds
+# with NO Spark involved), so the default pair is now 2→8.
+# Override: SPARK_GRAFT_SCALE_CORES="4,16".
+_SCALE_CORES = os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8")
 
 HEADLINE = [
     "ocr_extract",
@@ -128,7 +133,7 @@ def run_scaling(sf_dir: str) -> dict:
     p = subprocess.run(
         [sys.executable, "-c", _CHILD_CODE.format(repo=REPO),
          str(lo), str(hi), str(SCALE_DOCS), sf_dir],
-        capture_output=True, text=True, timeout=1800,
+        capture_output=True, text=True, timeout=2400,
     )
     line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
     r = json.loads(line)
@@ -149,23 +154,36 @@ def run_scaling(sf_dir: str) -> dict:
 def run_kernel_scaling() -> dict:
     """Supporting evidence: the per-image kernel pipeline under plain
     multiprocessing (no Spark, no JVM) at the same core pair — a much
-    lower-variance scaling measurement on this drifting host."""
+    lower-variance scaling measurement on this drifting host. Median of
+    3 back-to-back pairs, same policy as the Spark gate."""
     import multiprocessing as mp
 
     lo, hi = (int(c) for c in _SCALE_CORES.split(","))
     n = 5120
-    thr = {}
-    for procs in (lo, hi):
+
+    def thr(procs: int) -> float:
         with mp.Pool(procs) as pool:
             pool.map(_kernel_work, [(i,) for i in range(16)])  # warm
             t0 = time.time()
             pool.map(_kernel_work, [(i,) for i in range(n)], chunksize=16)
-            thr[procs] = n / (time.time() - t0)
+            return n / (time.time() - t0)
+
+    rounds = []
+    for _ in range(3):
+        t_lo, t_hi = thr(lo), thr(hi)
+        rounds.append({
+            "lo_imgs_per_sec": round(t_lo, 1),
+            "hi_imgs_per_sec": round(t_hi, 1),
+            "efficiency": round((t_hi / t_lo) / (hi / lo), 3),
+        })
+    med = sorted(rounds, key=lambda r: r["efficiency"])[len(rounds) // 2]
     return {
         "images": n,
-        "low": {"procs": lo, "imgs_per_sec": round(thr[lo], 1)},
-        "high": {"procs": hi, "imgs_per_sec": round(thr[hi], 1)},
-        "scaling_efficiency": round((thr[hi] / thr[lo]) / (hi / lo), 3),
+        "low": {"procs": lo, "imgs_per_sec": med["lo_imgs_per_sec"]},
+        "high": {"procs": hi, "imgs_per_sec": med["hi_imgs_per_sec"]},
+        "scaling_efficiency": med["efficiency"],
+        "median_of": len(rounds),
+        "all_rounds": rounds,
     }
 
 
