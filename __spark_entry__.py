@@ -1083,6 +1083,42 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.25
 """
 
 
+def q_dedup_semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup end-to-end: exact blocked-GEMM
+    cosine pairs → connected components → keeper per embedding cluster
+    (the same iterative operator the text pipeline uses — pair source is
+    pluggable)."""
+    from onnxocr_spark.operators.dedup import connected_component_keepers
+    from onnxocr_spark.operators.similarity import cosine_pairs_blocked
+
+    _register(spark, sf_dir)
+    pairs = cosine_pairs_blocked(
+        spark.table("embeddings"), threshold=0.45, block_rows=1024
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    return connected_component_keepers(pairs).select(
+        F.col("doc_id").cast("bigint").alias("vec_id"),
+        F.col("keeper").cast("bigint").alias("keeper"),
+    )
+
+
+_SEMANTIC_KEEPERS_DUCK = """
+WITH RECURSIVE pairs AS (
+  SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
+reach(v, l) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.v
+)
+SELECT CAST(v AS BIGINT) AS vec_id, CAST(MIN(l) AS BIGINT) AS keeper
+FROM reach GROUP BY v
+"""
+
+
 
 # top-k terms across the corpus (classic corpus-stats aggregation)
 _TOP_TERMS_SPARK = """
@@ -1444,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _sqlq(_FINGERPRINT),
         "doc_rolling_hash": _sqlq(_ROLLHASH_SPARK),
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_semantic_keepers": q_dedup_semantic_keepers,
     }
 
 
@@ -1495,4 +1532,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _FINGERPRINT,
         "doc_rolling_hash": _ROLLHASH_DUCK,
         "dedup_embedding_cosine": _EMB_COS_PAIRS_DUCK,
+        "dedup_semantic_keepers": _SEMANTIC_KEEPERS_DUCK,
     }
