@@ -1217,8 +1217,9 @@ SELECT lang_pred, CAST(count(*) AS BIGINT) AS n FROM pred GROUP BY lang_pred
 
 
 def _synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal media table derived from the corpus: rendered image
-    bytes for even doc_ids, fake audio/video payloads for the rest."""
+    """Multimodal media table derived from the corpus, kind assigned by
+    doc_id % 3: 0 → rendered image bytes, 1 → fake audio payload,
+    2 → fake video payload (the _IMAGE_DIMS_DUCK oracle mirrors this)."""
     from collections.abc import Iterator
     import pandas as pd
 

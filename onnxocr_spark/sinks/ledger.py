@@ -14,9 +14,10 @@ millionth run.
 With an Iceberg catalog the ledger folds into snapshot summary
 properties; the parquet layout keeps the same interface:
 
-    {root}/data/run=<run_id>/…    output documents (one dir per run)
-    {root}/ledger/run=<run_id>/…  committed doc_ids for that run
-    {root}/metrics/run_<id>.json  per-run lineage + counters
+    {root}/data/run=<run_id>/…              output documents (one dir per run)
+    {root}/ledger/run=<run_id>/…            committed doc_ids for that run
+    {root}/metrics/run=<run_id>/…           per-data-file OCR metrics (parquet)
+    {root}/metrics/_sidecars/run_<id>.json  per-run lineage + counters
 """
 
 from __future__ import annotations
@@ -72,12 +73,15 @@ def write_with_ledger(
     )
     # per-partition OCR metrics for this commit (north rule: every
     # partition commit records lineage + metrics): one row per landed
-    # file partition — at Iceberg these rows fold into per-data-file
-    # column stats / snapshot summary entries
+    # DATA FILE — input_file_name() is the on-disk partition identity
+    # (spark_partition_id() on a re-read is the scan-split id, which
+    # packs small files / splits large ones and so over/under-counts);
+    # at Iceberg these rows fold into per-data-file column stats /
+    # snapshot summary entries
     part_metrics = (
-        landed.withColumn("partition_id", F.spark_partition_id())
-        .select("partition_id", F.explode("spans").alias("s"))
-        .groupBy("partition_id")
+        landed.withColumn("data_file", F.input_file_name())
+        .select("data_file", F.explode("spans").alias("s"))
+        .groupBy("data_file")
         .agg(
             F.count("*").alias("spans"),
             F.sum(F.when(F.col("s.kind") == "media", 1).otherwise(0)).alias(
@@ -105,8 +109,11 @@ def write_with_ledger(
         "n_partitions": part_metrics.count(),
         "wall_clock_unix": time.time(),
     }
-    os.makedirs(os.path.join(root, "metrics"), exist_ok=True)
-    with open(os.path.join(root, "metrics", f"run_{run_id}.json"), "w") as f:
+    # JSON sidecars live under a leading-underscore subdir so a parquet
+    # scan of metrics/ never trips over them (Spark skips _-prefixed paths)
+    sidecar_dir = os.path.join(root, "metrics", "_sidecars")
+    os.makedirs(sidecar_dir, exist_ok=True)
+    with open(os.path.join(sidecar_dir, f"run_{run_id}.json"), "w") as f:
         json.dump(metrics, f)
     return metrics
 

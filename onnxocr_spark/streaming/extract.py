@@ -92,11 +92,14 @@ def streaming_exact_dedup(stream_docs: DataFrame) -> DataFrame:
         import pandas as pd
 
         (seen,) = state.get if state.exists else (0,)
+        # materialize every chunk of the group before sorting: a group
+        # spanning multiple pandas chunks in one micro-batch must still
+        # resolve ties by the GLOBAL ascending doc_id, not per-chunk
+        ids = sorted(int(d) for pdf in pdfs for d in pdf["doc_id"])
         rows = []
-        for pdf in pdfs:
-            for did in sorted(int(d) for d in pdf["doc_id"]):
-                rows.append((key[0], did, seen == 0))
-                seen += 1
+        for did in ids:
+            rows.append((key[0], did, seen == 0))
+            seen += 1
         state.update((seen,))
         yield pd.DataFrame(rows, columns=["fp", "doc_id", "is_first"])
 

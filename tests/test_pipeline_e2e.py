@@ -228,5 +228,5 @@ def test_ledger_per_partition_metrics(spark, docs_df, tmp_path):
     assert agg[1] == m["media_spans"]
     assert agg[2] == m["empty_media_spans"]
     assert parts.count() == m["n_partitions"] >= 1
-    sidecar = json.load(open(f"{root}/metrics/run_pm1.json"))
+    sidecar = json.load(open(f"{root}/metrics/_sidecars/run_pm1.json"))
     assert sidecar["docs"] == m["docs"]
