@@ -82,6 +82,32 @@ def _sqlq(sql: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _docs_src(spark: SparkSession, sf_dir: str) -> str:
+    """Documents-scan subquery for the shingle/token fan-out templates.
+
+    Hints a repartition only when the parquet scan provides fewer splits
+    than the session's parallelism (local-mode small files: one split
+    serializes the narrow shingle derivation). On a cluster reading a
+    100 TB corpus the scan splits ARE the parallelism, the condition is
+    false, and no full-text shuffle is forced (VERDICT r2 item 3)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    scan_parts = spark.read.parquet(path).rdd.getNumPartitions()
+    par = spark.sparkContext.defaultParallelism
+    if scan_parts >= par:
+        return "SELECT doc_id, text FROM documents"
+    return f"SELECT /*+ REPARTITION({2 * par}) */ doc_id, text FROM documents"
+
+
+def _sqlq_fanout(template: str) -> Callable[[SparkSession, str], DataFrame]:
+    """Like _sqlq, for templates with a {docs_src} fan-out placeholder."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register(spark, sf_dir)
+        return spark.sql(template.format(docs_src=_docs_src(spark, sf_dir)))
+
+    return run
+
+
 # ---- OCR pipeline surface (SURVEY.md §2.1-2.6) ----------------------------
 
 def q_ocr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -433,12 +459,19 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 # in one input partition, so partial aggregation collapses to one row
 # per doc *before* the only shuffle. Round 1 shuffled the full exploded
 # token table twice through a 3-way self-join.
+#
+# {docs_src} is resolved per-session by _docs_src(): a REPARTITION hint
+# appears ONLY when the parquet scan yields fewer splits than the
+# session's parallelism (local-mode: one small file → serial narrow
+# derivation). At cluster scale the input splits provide the fan-out
+# and the hint vanishes — a literal REPARTITION(64) would force a
+# full-corpus text shuffle into 64 partitions (VERDICT r2 item 3).
 _MH_P = 2147483647
 _SHINGLES_SPARK = """
     SELECT doc_id, explode(transform(sequence(1, size(t) - 2),
                i -> concat_ws(' ', t[i-1], t[i], t[i+1]))) AS shingle
     FROM (SELECT doc_id, split(text, ' ') AS t
-          FROM (SELECT /*+ REPARTITION(64) */ doc_id, text FROM documents))
+          FROM ({docs_src}))
     WHERE size(t) >= 3
 """
 _MINHASH_CORE_SPARK = """
@@ -533,7 +566,7 @@ def q_dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from onnxocr_spark.operators.dedup import connected_component_keepers
 
     _register(spark, sf_dir)
-    pairs = spark.sql(_LSH_SPARK)
+    pairs = spark.sql(_LSH_SPARK.format(docs_src=_docs_src(spark, sf_dir)))
     return connected_component_keepers(pairs).select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("keeper").cast("bigint").alias("keeper"),
@@ -563,7 +596,7 @@ def q_dedup_cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from onnxocr_spark.operators.dedup import connected_component_keepers
 
     _register(spark, sf_dir)
-    pairs = spark.sql(_LSH_SPARK)
+    pairs = spark.sql(_LSH_SPARK.format(docs_src=_docs_src(spark, sf_dir)))
     retired = connected_component_keepers(pairs).filter(
         F.col("doc_id") != F.col("keeper")
     ).select("doc_id")
@@ -606,7 +639,7 @@ _SIMHASH_SPARK = """
 WITH toks AS (
   SELECT doc_id,
          CAST(conv(substring(md5(tok), 1, 12), 16, 10) AS BIGINT) AS h
-  FROM (SELECT /*+ REPARTITION(64) */ doc_id, text FROM documents)
+  FROM ({docs_src})
   LATERAL VIEW explode(split(text, ' ')) t AS tok
 ),
 votes AS (
@@ -1455,12 +1488,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_orders": _sqlq(_Q3),
         # training-data pipeline ops
         "dedup_exact": _sqlq(_DEDUP_EXACT_SPARK),
-        "dedup_minhash_sig": _sqlq(_MINHASH_SPARK),
-        "dedup_minhash_lsh_pairs": _sqlq(_LSH_SPARK),
+        "dedup_minhash_sig": _sqlq_fanout(_MINHASH_SPARK),
+        "dedup_minhash_lsh_pairs": _sqlq_fanout(_LSH_SPARK),
         "dedup_cluster_keepers": q_dedup_cluster_keepers,
         "dedup_cleaned_corpus": q_dedup_cleaned_corpus,
-        "dedup_simhash": _sqlq(_SIMHASH_SPARK),
-        "ngram_jaccard_pairs": _sqlq(_JACCARD_SPARK),
+        "dedup_simhash": _sqlq_fanout(_SIMHASH_SPARK),
+        "ngram_jaccard_pairs": _sqlq_fanout(_JACCARD_SPARK),
         "embedding_cosine_topk": q_cosine_topk,
         "embedding_ann_lsh_topk": q_ann_lsh_topk,
         "embedding_ann_ivf_topk": q_ann_ivf_topk,
