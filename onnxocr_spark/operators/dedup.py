@@ -9,12 +9,19 @@ propagation over the undirected pair graph:
 
     label(v) ← min(label(v), min over neighbors' labels)
 
-repeated until a fixpoint. Each iteration is one join + one
-map-side-combined groupBy; convergence takes O(graph diameter)
-iterations — duplicate clusters are shallow (near-cliques from banding,
-diameter ≤ ~3), so this terminates in 2-4 rounds where a general graph
-would want the large-star/small-star algorithm (Kiveris et al.,
-"Connected Components in MapReduce and Beyond"). `max_iter` bounds the
+followed by pointer jumping
+
+    label(v) ← label(label(v))
+
+each round, until a fixpoint. Labels are always vertex ids with
+label(u) ≤ u, so the jump is a plain self-lookup that composes the
+propagation with itself — known-label distance doubles per round and
+convergence is O(log diameter) (the shortcutting idea behind
+large-star/small-star, Kiveris et al., "Connected Components in
+MapReduce and Beyond"), where plain propagation is O(diameter).
+Duplicate clusters are usually near-cliques (2-4 rounds either way);
+the jump is the hedge for chain-shaped duplicate graphs a crawl corpus
+can produce (doc A overlaps B overlaps C …). `max_iter` bounds the
 loop; hitting it raises rather than returning a half-converged answer.
 
 Deterministic: labels are doc ids, min is order-free, no RNG.
@@ -32,20 +39,29 @@ def connected_component_keepers(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) pairs → (doc_id, keeper) with keeper = min id of
     the doc's connected component. Docs not in any pair are absent
-    (they are their own keepers by definition)."""
+    (they are their own keepers by definition). If `stats` is given,
+    stats['rounds'] records the iterations executed (the last one is
+    the fixpoint-confirming round)."""
     spark = pairs.sparkSession
     e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
     edges = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
 
-    # initial label: min neighbor vs self
+    # initial label: min neighbor vs self. localCheckpoint (here and per
+    # round) truncates the iterative lineage — labels feed the plan
+    # twice per round (propagation + jump lookup), so without
+    # checkpointing the logical plan QUADRUPLES per round and the driver
+    # dies on plan serialization long before the data is big. Local (not
+    # reliable) checkpoints suffice: a lost executor fails the job and
+    # the ledger-based resume re-runs it.
     labels = edges.groupBy("a").agg(
         F.least(F.min("b"), F.first("a")).alias("l")
-    ).withColumnRenamed("a", "v").persist()
+    ).withColumnRenamed("a", "v").localCheckpoint(eager=True)
 
     def _label_mass(df: DataFrame) -> object:
         # labels only ever DECREASE under min-propagation, so the total
@@ -55,7 +71,9 @@ def connected_component_keepers(
         return df.agg(F.sum(F.col("l").cast("decimal(38,0)"))).first()[0]
 
     mass = _label_mass(labels)
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # propagate: each vertex takes min(own label, neighbors' labels)
         neigh = (
             edges.join(labels.withColumnRenamed("v", "b"), "b")
@@ -63,19 +81,31 @@ def connected_component_keepers(
             .agg(F.min("l").alias("nl"))
             .withColumnRenamed("a", "v")
         )
-        new_labels = (
+        prop = (
             labels.join(neigh, "v", "left")
             .select("v", F.least("l", F.coalesce("nl", "l")).alias("l"))
             .persist()
         )
+        # pointer jumping: label(v) ← label(label(v)). Every label is a
+        # vertex id present in `prop` and label(u) ≤ u, so the lookup
+        # only ever decreases labels; composing it with the propagation
+        # doubles the distance labels travel per round → O(log diameter).
+        lookup = prop.select(F.col("v").alias("_lk"), F.col("l").alias("_ll"))
+        new_labels = (
+            prop.join(lookup, prop["l"] == lookup["_lk"], "left")
+            .select("v", F.least("l", F.coalesce("_ll", "l")).alias("l"))
+            .localCheckpoint(eager=True)
+        )
         new_mass = _label_mass(new_labels)
-        labels.unpersist()
+        prop.unpersist()
         labels = new_labels
         if new_mass == mass:
             break
         mass = new_mass
     else:
         raise RuntimeError(f"label propagation did not converge in {max_iter} iters")
+    if stats is not None:
+        stats["rounds"] = rounds
 
     edges.unpersist()
     return labels.select(F.col("v").alias("doc_id"), F.col("l").alias("keeper"))

@@ -590,6 +590,27 @@ def test_connected_component_keepers_transitive(spark):
                    20: 20, 21: 20, 22: 20, 23: 20, 24: 20}
 
 
+def test_connected_component_keepers_chain_log_rounds(spark):
+    """Pointer jumping: a 64-vertex chain (diameter 63) must converge in
+    O(log d) rounds, not O(d) — ≤ ceil(log2(63)) + 1 = 7 productive
+    rounds plus the fixpoint-confirming one (plain propagation would
+    need 63)."""
+    import math
+
+    from onnxocr_spark.operators.dedup import connected_component_keepers
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    stats: dict = {}
+    got = {r.doc_id: r.keeper
+           for r in connected_component_keepers(pairs, stats=stats).collect()}
+    assert got == {i: 0 for i in range(n)}
+    bound = math.ceil(math.log2(n - 1)) + 1 + 1  # +1 fixpoint confirm
+    assert stats["rounds"] <= bound, stats
+
+
 # ----------------------------------------------------- HTML extraction
 def test_extract_main_content_heuristics():
     """Generic readability heuristics on a handcrafted page: chrome
