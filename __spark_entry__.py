@@ -1115,18 +1115,63 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.25
 """
 
+# Seed-cell CTEs mirroring operators/similarity.seed_cells: the 16 cell
+# seeds are the vectors with smallest md5(vec_id); assignment is argmax
+# cosine with ties to the smaller seed id — both engines re-derive the
+# identical cells from the data alone (validated element-for-element at
+# sf0.01/sf0.1).
+_CELLS_DUCK = """
+seeds AS (
+  SELECT vec_id AS seed_id, embedding AS se
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+assigned AS (
+  SELECT e.vec_id, e.embedding, s.seed_id,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.embedding, s.se) DESC, s.seed_id)
+           AS rn
+  FROM embeddings e CROSS JOIN seeds s),
+cells AS (SELECT vec_id, embedding, seed_id AS cell FROM assigned WHERE rn = 1)
+"""
+_BUCKETED_PAIRS_DUCK = """
+  SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= {t}
+"""
 
-def q_dedup_semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup end-to-end: exact blocked-GEMM
-    cosine pairs → connected components → keeper per embedding cluster
-    (the same iterative operator the text pipeline uses — pair source is
-    pluggable)."""
-    from onnxocr_spark.operators.dedup import connected_component_keepers
-    from onnxocr_spark.operators.similarity import cosine_pairs_blocked
+
+def q_dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-first variant of the cosine pair scan (VERDICT r2 item 1):
+    blocked GEMM runs within SQL-reproducible seed cells, keyed
+    (cell, ga, gb) — the 100-TB shape. Cross-cell pairs are by design
+    absent (SemDeDup semantics); `dedup_embedding_cosine` keeps the
+    global exact scan as the small-SF exactness engine."""
+    from onnxocr_spark.operators.similarity import cosine_pairs_bucketed
 
     _register(spark, sf_dir)
-    pairs = cosine_pairs_blocked(
-        spark.table("embeddings"), threshold=0.45, block_rows=1024
+    return cosine_pairs_bucketed(
+        spark.table("embeddings"), threshold=0.25, n_cells=16, block_rows=1024
+    ).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+    )
+
+
+_EMB_COS_BUCKETED_DUCK = "WITH " + _CELLS_DUCK + _BUCKETED_PAIRS_DUCK.format(t=0.25)
+
+
+def q_dedup_semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end, cluster-first (Abbas et al. 2023; VERDICT r2
+    item 1): vectors partition into seed cells, the blocked-GEMM pair
+    scan runs WITHIN cells (no global O(N²) GEMM in the plan), and the
+    same connected-components operator the text pipeline uses picks one
+    keeper per near-duplicate cluster. The DuckDB oracle re-derives the
+    identical cells + pairs and closes them with a recursive CTE."""
+    from onnxocr_spark.operators.dedup import connected_component_keepers
+    from onnxocr_spark.operators.similarity import cosine_pairs_bucketed
+
+    _register(spark, sf_dir)
+    pairs = cosine_pairs_bucketed(
+        spark.table("embeddings"), threshold=0.45, n_cells=16, block_rows=1024
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     return connected_component_keepers(pairs).select(
         F.col("doc_id").cast("bigint").alias("vec_id"),
@@ -1134,12 +1179,12 @@ def q_dedup_semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SEMANTIC_KEEPERS_DUCK = """
-WITH RECURSIVE pairs AS (
-  SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
-),
+_SEMANTIC_KEEPERS_DUCK = (
+    "WITH RECURSIVE "
+    + _CELLS_DUCK
+    + ", pairs AS ("
+    + _BUCKETED_PAIRS_DUCK.format(t=0.45)
+    + """),
 edges AS (SELECT id_a AS a, id_b AS b FROM pairs
           UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
 reach(v, l) AS (
@@ -1150,6 +1195,7 @@ reach(v, l) AS (
 SELECT CAST(v AS BIGINT) AS vec_id, CAST(MIN(l) AS BIGINT) AS keeper
 FROM reach GROUP BY v
 """
+)
 
 
 
@@ -1514,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _sqlq(_FINGERPRINT),
         "doc_rolling_hash": _sqlq(_ROLLHASH_SPARK),
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_cosine_bucketed": q_dedup_embedding_cosine_bucketed,
         "dedup_semantic_keepers": q_dedup_semantic_keepers,
     }
 
@@ -1566,5 +1613,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _FINGERPRINT,
         "doc_rolling_hash": _ROLLHASH_DUCK,
         "dedup_embedding_cosine": _EMB_COS_PAIRS_DUCK,
+        "dedup_embedding_cosine_bucketed": _EMB_COS_BUCKETED_DUCK,
         "dedup_semantic_keepers": _SEMANTIC_KEEPERS_DUCK,
     }

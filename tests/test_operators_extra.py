@@ -401,6 +401,44 @@ def test_cosine_pairs_blocked_exact_multiblock(spark):
     assert "BroadcastNestedLoop" not in plan
 
 
+def test_cosine_pairs_bucketed_is_cell_restricted_subset(spark):
+    """Cluster-first SemDeDup pair source: every vector lands in exactly
+    one seed cell; the bucketed pairs are exactly the global exact pairs
+    whose endpoints share a cell (SemDeDup semantics — nothing else
+    dropped, nothing invented); and the pair stage is physically keyed
+    by the cell id (no global GEMM in the plan)."""
+    from onnxocr_spark.operators.similarity import (
+        cosine_pairs_blocked, cosine_pairs_bucketed, seed_cells,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cells = {r.vec_id: r.cell for r in seed_cells(emb, 8).collect()}
+    assert len(cells) == emb.count(), "every vector must be assigned"
+    assert len(set(cells.values())) <= 8
+
+    got_df = cosine_pairs_bucketed(emb, threshold=0.3, n_cells=8,
+                                   block_rows=40)
+    got = {(r.id_a, r.id_b) for r in got_df.collect()}
+    exact = {(r.id_a, r.id_b)
+             for r in cosine_pairs_blocked(emb, threshold=0.3,
+                                           block_rows=40).collect()}
+    assert got == {(a, b) for a, b in exact if cells[a] == cells[b]}
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the ONLY nested-loop join allowed is the broadcast of the C seed
+    # rows (a map-side expand of constant width, not a pair blowup)
+    import re
+    # every nested-loop join must build on the broadcast (seed) side —
+    # a constant-width map-side expand, never a pair blowup
+    bnl_lines = [l for l in plan.splitlines()
+                 if "BroadcastNestedLoopJoin" in l]
+    assert bnl_lines and all("BuildRight" in l for l in bnl_lines), plan
+    assert "BroadcastExchange IdentityBroadcastMode" in plan, plan
+    assert re.search(r"hashpartitioning\(cell", plan), (
+        "pair stage must be keyed by the cell id")
+
+
 # ------------------------------------------------------------ PDF source
 def test_pages_container_roundtrip():
     from onnxocr_spark.operators.sources import (
