@@ -98,14 +98,17 @@ def image_features(media: DataFrame) -> DataFrame:
 
 def _fake_decode_audio(data: bytes) -> tuple[np.ndarray, int]:
     """STUB — audio codecs unavailable in this container. Deterministic
-    fake: a sine-ish waveform derived from the byte digest, so the
-    feature math downstream is real and testable. Replace with
-    soundfile/librosa decode in production."""
+    fake: the sha256 digest of the bytes, tiled as a waveform of
+    (byte-128)/128 samples. Every sample is a dyadic rational k/2^7, so
+    the downstream feature sums are EXACT in float64 and the DuckDB
+    oracle (_AUDIO_FEATURES_DUCK in __spark_entry__.py) re-derives
+    rms/zero-crossings bit-for-bit from SQL alone — the feature math
+    stays real; only the codec is fake. Replace with soundfile/librosa
+    decode in production."""
     h = hashlib.sha256(data).digest()
     n = 8000 + int.from_bytes(h[:2], "big") % 8000
-    freq = 1 + int.from_bytes(h[2:4], "big") % 40
-    t = np.arange(n, dtype=np.float64)
-    return np.sin(2 * np.pi * freq * t / n), 16000
+    pattern = (np.frombuffer(h, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    return np.tile(pattern, -(-n // 32))[:n], 16000
 
 
 def audio_features(media: DataFrame) -> DataFrame:
@@ -136,16 +139,21 @@ def audio_features(media: DataFrame) -> DataFrame:
 
 def _fake_decode_video_frames(data: bytes, every_ms: int) -> list[tuple[int, np.ndarray]]:
     """STUB — video codecs unavailable. Deterministic fake: per-frame
-    gradient images derived from the byte digest; frame count from a
-    fake duration. Replace with pyav in production."""
+    32×32 INTEGER gradient (i·8 + j·s + o) mod 256 with (s, o) drawn
+    from the byte digest per frame, frame count from a fake duration.
+    Integer cells make every downstream block mean exact even in
+    float32, so the per-frame phash is re-derivable in plain SQL
+    (_VIDEO_FRAMES_DUCK in __spark_entry__.py) — the phash math stays
+    real; only the codec is fake. Replace with pyav in production."""
     h = hashlib.sha256(data).digest()
     duration_ms = 1000 + int.from_bytes(h[:2], "big") % 4000
+    i = np.arange(32, dtype=np.int64)[:, None]
+    j = np.arange(32, dtype=np.int64)[None, :]
     frames = []
-    for i, ts in enumerate(range(0, duration_ms, every_ms)):
-        seed = int.from_bytes(h[(i % 16) * 2 : (i % 16) * 2 + 2], "big")
-        y = np.linspace(0, 255, 32, dtype=np.float32)[:, None]
-        x = np.linspace(0, float(seed % 256), 32, dtype=np.float32)[None, :]
-        frames.append((ts, (y + x) % 256))
+    for fno, ts in enumerate(range(0, duration_ms, every_ms)):
+        seed = int.from_bytes(h[(fno % 16) * 2 : (fno % 16) * 2 + 2], "big")
+        s, o = seed % 256, seed // 256
+        frames.append((ts, ((i * 8 + j * s + o) % 256).astype(np.float32)))
     return frames
 
 

@@ -57,7 +57,8 @@ def test_phash_robust_to_resize():
 def test_audio_features(spark, media_df):
     out = {r.media_id: r for r in audio_features(media_df).collect()}
     assert out["a1"].ok and out["a1"].sample_rate == 16000
-    assert 0.5 < out["a1"].rms < 0.9  # sine RMS ≈ 0.707
+    # digest-tiled wave: bytes ~uniform in [-1, 1) → RMS ≈ 1/√3 ≈ 0.58
+    assert 0.3 < out["a1"].rms < 0.8
     assert out["a1"].zero_crossings > 0
     assert not out["a2"].ok
     # deterministic: same bytes → same features
