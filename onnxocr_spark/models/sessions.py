@@ -54,6 +54,12 @@ class _OrtSession:  # pragma: no cover - needs onnxruntime
         return self._sess.run(self._out, {self._in: x})[0]
 
 
+def is_real_model(name: str) -> bool:
+    """True when `name` resolves to a real ONNX session (vs a stub) —
+    the signal batching contracts key on (two_stage.resolve_rec_batch_by_image)."""
+    return name.endswith(".onnx") or name.startswith("spark:")
+
+
 def get_session(name: str):
     """Executor-process-wide lazy singleton."""
     sess = _SESSIONS.get(name)

@@ -90,43 +90,69 @@ def make_detect_crops_fn(cfg: PipelineConfig):
     return detect_crops
 
 
+_REC_COLS = ["doc_id", "offset", "media_ref", "box_idx", "text", "score"]
+
+
+def _run_rec_group(pdf: pd.DataFrame, cfg: PipelineConfig) -> list[tuple]:
+    """One cls+rec pass over the crops in `pdf` as a single batch pool."""
+    from onnxocr_spark.imagecodec import decode_image
+    from onnxocr_spark.ocr.textsystem import classify_crops, recognize_crops
+
+    crops, keys = [], []
+    for row in pdf.itertuples(index=False):
+        img = decode_image(row.crop) if row.crop is not None else None
+        if img is None:
+            continue
+        crops.append(img)
+        keys.append((row.doc_id, row.offset, row.media_ref, row.box_idx))
+    if not crops:
+        return []
+    if cfg.use_angle_cls:
+        crops, _ = classify_crops(crops, cfg)
+    rec = recognize_crops(crops, cfg)
+    return [(k[0], k[1], k[2], k[3], t, s) for k, (t, s) in zip(keys, rec)]
+
+
 def make_recognize_crops_fn(cfg: PipelineConfig):
+    """Crop-grain recognition (mapInPandas): batch membership follows
+    the Arrow batch, best balance; identical output is guaranteed only
+    for pad-insensitive models (the stubs mask zero-pad columns)."""
+
     def recognize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from onnxocr_spark.imagecodec import decode_image
-        from onnxocr_spark.ocr.textsystem import classify_crops, recognize_crops
-
-        def run_group(pdf: pd.DataFrame) -> list[tuple]:
-            crops, keys = [], []
-            for row in pdf.itertuples(index=False):
-                img = decode_image(row.crop) if row.crop is not None else None
-                if img is None:
-                    continue
-                crops.append(img)
-                keys.append((row.doc_id, row.offset, row.media_ref, row.box_idx))
-            if not crops:
-                return []
-            if cfg.use_angle_cls:
-                crops, _ = classify_crops(crops, cfg)
-            rec = recognize_crops(crops, cfg)
-            return [(k[0], k[1], k[2], k[3], t, s)
-                    for k, (t, s) in zip(keys, rec)]
-
-        cols = ["doc_id", "offset", "media_ref", "box_idx", "text", "score"]
         for pdf in batches:
-            if cfg.rec_batch_by_image:
-                # per-image batches (sorted by box_idx, the reference's
-                # sorted_boxes feed order) — max_wh_ratio padding then
-                # matches the fused stage bit-for-bit with real weights
-                rows: list[tuple] = []
-                for _, g in pdf.sort_values("box_idx").groupby(
-                    ["doc_id", "offset"], sort=False
-                ):
-                    rows.extend(run_group(g))
-                yield pd.DataFrame(rows, columns=cols)
-            else:
-                yield pd.DataFrame(run_group(pdf), columns=cols)
+            yield pd.DataFrame(_run_rec_group(pdf, cfg), columns=_REC_COLS)
 
     return recognize
+
+
+def make_recognize_image_group_fn(cfg: PipelineConfig):
+    """Per-image recognition (applyInPandas over (doc_id, offset)): the
+    grouped map is handed EVERY crop of the image at once — Arrow batch
+    boundaries cannot split an image into two rec pools (mapInPandas
+    with arrow_max_records=32 silently did exactly that for dense pages;
+    ADVICE r2). Crops feed in box_idx order — the reference's
+    sorted_boxes order — so max_wh_ratio padding matches the fused
+    stage bit-for-bit with real weights."""
+
+    def recognize_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            _run_rec_group(pdf.sort_values("box_idx"), cfg), columns=_REC_COLS
+        )
+
+    return recognize_group
+
+
+def resolve_rec_batch_by_image(cfg: PipelineConfig) -> bool:
+    """rec_batch_by_image=None (the default) resolves to True exactly
+    when the rec model is a real ONNX session — bit-faithful per-image
+    batching must not depend on a flag nobody sets (VERDICT r2 item 7).
+    The stub path keeps crop grain: pads are masked, so per-image
+    batching buys nothing and costs the finer balance."""
+    if cfg.rec_batch_by_image is not None:
+        return cfg.rec_batch_by_image
+    from onnxocr_spark.models.sessions import is_real_model
+
+    return is_real_model(cfg.rec_model)
 
 
 def _round_robin(df: DataFrame, n_part: int, cols: list[str]) -> DataFrame:
@@ -151,13 +177,20 @@ def ocr_media_spans_split(media: DataFrame, cfg: PipelineConfig) -> DataFrame:
     failed = staged.filter("box_idx < 0")
 
     crop_cols = ["doc_id", "offset", "media_ref", "box_idx", "crop"]
-    if cfg.rec_batch_by_image:
-        # co-locate each image's crops so the per-image grouping inside
-        # the UDF sees them all (image-grain balance)
-        rec_in = crops.repartition(n_part, "doc_id", "offset").select(*crop_cols)
+    if resolve_rec_batch_by_image(cfg):
+        # grouped map: applyInPandas guarantees the UDF sees every crop
+        # of an image in one call (group integrity — the mapInPandas +
+        # per-batch-groupby shape could split an image across Arrow
+        # batches); image-grain balance
+        rec = (
+            crops.select(*crop_cols)
+            .groupBy("doc_id", "offset")
+            .applyInPandas(make_recognize_image_group_fn(cfg), REC_OUTPUT_SCHEMA)
+        )
     else:
-        rec_in = _round_robin(crops, n_part, crop_cols)
-    rec = rec_in.mapInPandas(make_recognize_crops_fn(cfg), REC_OUTPUT_SCHEMA)
+        rec = _round_robin(crops, n_part, crop_cols).mapInPandas(
+            make_recognize_crops_fn(cfg), REC_OUTPUT_SCHEMA
+        )
 
     texts = (
         rec.filter(F.col("score") >= F.lit(cfg.drop_score))
