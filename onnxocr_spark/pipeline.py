@@ -51,6 +51,55 @@ def explode_spans(docs: DataFrame) -> DataFrame:
     )
 
 
+def cost_balanced_bins(
+    media: DataFrame, n_part: int, cost: F.Column
+) -> DataFrame:
+    """(doc_id, offset, _rr): partition bins sized by COST, not row
+    count — for corpora whose per-item OCR cost spread ≫ row-count
+    spread (one 4K scan next to thumbnails). Rows are sorted by cost
+    descending and cut at cumulative-cost quanta of total/n_part, so
+    every bin carries ≈ equal total cost (± one item — an indivisible
+    outlier bigger than the quantum fills its bin alone, which is the
+    best any placement can do; splitting such an item is the two-stage
+    plan's job).
+
+    Scale shape: the sort and both passes touch only (doc_id, offset,
+    cost) — never pixels; the prefix sum is the textbook two-pass
+    (per-partition totals → driver (one int per partition) → offset
+    broadcast), so no single-partition window exists anywhere.
+    """
+    keyed = media.select("doc_id", "offset", cost.cast("double").alias("_c"))
+    srt = (
+        keyed.orderBy(F.desc("_c"), "doc_id", "offset")
+        .rdd.map(lambda r: (r[0], r[1], r[2]))
+        .persist()
+    )
+    part_sums = dict(
+        srt.mapPartitionsWithIndex(
+            lambda i, it: [(i, sum(r[2] for r in it))]
+        ).collect()
+    )
+    total = sum(part_sums.values()) or 1.0
+    quantum = total / n_part
+    offsets = {}
+    acc = 0.0
+    for i in sorted(part_sums):
+        offsets[i] = acc
+        acc += part_sums[i]
+
+    def assign(i: int, it):
+        acc = offsets[i]
+        for doc_id, off, c in it:
+            yield doc_id, off, min(n_part - 1, int(acc // quantum))
+            acc += c
+
+    bins = srt.mapPartitionsWithIndex(assign).toDF(
+        "doc_id string, offset int, _rr int"
+    )
+    srt.unpersist()
+    return bins
+
+
 def ocr_media_spans(media: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """media-span rows → OCR'd rows (doc_id, offset, media_ref, text, …).
 
@@ -63,18 +112,40 @@ def ocr_media_spans(media: DataFrame, cfg: PipelineConfig) -> DataFrame:
     on local[16]: busy efficiency 0.77 (hash salt, 4 waves) → ~1.0
     (round-robin, 2 waves). monotonically_increasing_id is a pure
     function of the upstream partition layout, so retries are stable.
+
+    With cfg.ocr_cost_col set (a numeric cost hint, or a binary column
+    meaning "its byte size"), bins are cost-weighted instead
+    (cost_balanced_bins): equal-cost, not equal-count. Opt-in because
+    it adds one hash exchange of the media rows (the bin join) — worth
+    it exactly when per-item cost spread ≫ row-count spread.
     """
     n_part = cfg.ocr_partitions or media.sparkSession.sparkContext.defaultParallelism * 2
     cols = ["doc_id", "offset", "media_ref"] + (
         ["media_bytes"] if "media_bytes" in media.columns else []
     )
-    balanced = (
-        media.withColumn(
-            "_rr", F.pmod(F.monotonically_increasing_id(), F.lit(n_part))
+    cost = None
+    if cfg.ocr_cost_col and cfg.ocr_cost_col in media.columns:
+        # a binary column means "balance by its byte size"
+        cost = (
+            F.length(cfg.ocr_cost_col)
+            if dict(media.dtypes).get(cfg.ocr_cost_col) == "binary"
+            else F.col(cfg.ocr_cost_col)
         )
-        .repartitionByRange(n_part, "_rr")
-        .select(*cols)
-    )
+    if cost is not None:
+        balanced = (
+            media.join(cost_balanced_bins(media, n_part, cost),
+                       ["doc_id", "offset"])
+            .repartitionByRange(n_part, "_rr")
+            .select(*cols)
+        )
+    else:
+        balanced = (
+            media.withColumn(
+                "_rr", F.pmod(F.monotonically_increasing_id(), F.lit(n_part))
+            )
+            .repartitionByRange(n_part, "_rr")
+            .select(*cols)
+        )
     return balanced.mapInPandas(make_ocr_media_fn(cfg), OCR_OUTPUT_SCHEMA)
 
 
