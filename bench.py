@@ -11,8 +11,10 @@ The ``ocr_throughput`` block is the BASELINE.json north-rule evidence:
 the identical extraction job run at two parallelism levels (local[N]
 and local[4N], fresh JVM each, measured after session warm-up) on the
 same input, with docs/sec at both and scaling efficiency
-(thr_highN / thr_lowN) / 4. No real cluster exists in this sandbox;
-two core counts stand in for N vs 4N executors.
+(thr_highN / thr_lowN) / 4, estimated as the RATIO OF MEDIAN times
+over SCALE_ROUNDS back-to-back pairs (drift-robust on this host — see
+SCALE_ROUNDS comment). No real cluster exists in this sandbox; two
+core counts stand in for N vs 4N executors.
 """
 
 from __future__ import annotations
@@ -32,8 +34,19 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # (stage scheduling, AQE planning, final collect) is noise against the
 # measured window — after the round-2 kernel speedups, 20k docs ran in
 # ~14 s at the hi level and the fixed ~3 s ate the efficiency number;
-# 40k keeps the local[8] hi run near 45 s
-SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "40000"))
+# 32k keeps the local[8] hi run near 50 s at current host speeds while
+# letting 5 rounds fit the same wall budget 3 rounds of 40k used
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "32000"))
+# rounds for the scaling evidence. The host's throughput drifts on a
+# minutes scale (r3: the NO-Spark multiprocessing control swung
+# 0.80→1.13 efficiency across back-to-back rounds), and a lo
+# measurement sits ~3 min from its paired hi — so single-pair ratios
+# are noise-dominated. The reported efficiency is the RATIO OF MEDIANS
+# (median lo time / median hi time / core ratio) over all rounds:
+# medians average over drift windows on both sides, where the previous
+# median-of-pair-ratios inherited whichever window mismatch the median
+# pair happened to catch.
+SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "5"))
 # N and 4N core counts for the scaling-efficiency evidence. The hi level
 # must stay inside the host's linear region or the pair measures the
 # hardware ceiling, not the engine: r1 used 4→16 when the kernels ran
@@ -60,6 +73,8 @@ HEADLINE = [
     "dedup_simhash",
     "ngram_jaccard_pairs",
     "dedup_embedding_cosine",
+    "dedup_embedding_cosine_bucketed",
+    "dedup_semantic_keepers",
     "embedding_cosine_topk",
     "pdf_pages_text",
     "html_main_content",
@@ -110,14 +125,15 @@ def measure(cpus):
     assert out_n == n
     return n, dt
 
-# The host's effective CPU throughput drifts over minutes, so efficiency
-# is only meaningful for a lo/hi pair measured back-to-back — and a
-# single pair can still catch a bad draw (r1 recorded pairs at 0.53 and
-# 1.04 around a 0.90 median). Always run 3 rounds; the reported number
-# is the MEDIAN pair, with every pair listed.
+# The host's effective CPU throughput drifts over minutes, so a single
+# lo/hi pair can catch mismatched windows (r1 recorded pairs at 0.53
+# and 1.04 around a 0.90 median; r3's no-Spark control swung
+# 0.80→1.13). All rounds are emitted; the parent reports the ratio of
+# median times, which averages drift on both sides.
+n_rounds = int(sys.argv[5])
 rounds = []
 n = 0
-for _ in range(3):
+for _ in range(n_rounds):
     n, t_lo = measure(lo)
     _, t_hi = measure(hi)
     eff = (n / t_hi) / (n / t_lo) / (hi / lo)
@@ -128,24 +144,33 @@ print(json.dumps({{"docs": n, "lo": lo, "hi": hi, "rounds": rounds}}))
 """
 
 
+def _median(xs):
+    s = sorted(xs)
+    m = len(s) // 2
+    return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2.0
+
+
 def run_scaling(sf_dir: str) -> dict:
     lo, hi = (int(c) for c in _SCALE_CORES.split(","))
     p = subprocess.run(
         [sys.executable, "-c", _CHILD_CODE.format(repo=REPO),
-         str(lo), str(hi), str(SCALE_DOCS), sf_dir],
-        capture_output=True, text=True, timeout=2400,
+         str(lo), str(hi), str(SCALE_DOCS), sf_dir, str(SCALE_ROUNDS)],
+        capture_output=True, text=True, timeout=3600,
     )
     line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
     r = json.loads(line)
-    med = sorted(r["rounds"], key=lambda x: x["efficiency"])[len(r["rounds"]) // 2]
+    med_lo = _median([x["lo_sec"] for x in r["rounds"]])
+    med_hi = _median([x["hi_sec"] for x in r["rounds"]])
+    eff = (r["docs"] / med_hi) / (r["docs"] / med_lo) / (hi / lo)
     return {
         "docs": r["docs"],
-        "low": {"cpus": lo, "sec": med["lo_sec"],
-                "docs_per_sec": round(r["docs"] / med["lo_sec"], 2)},
-        "high": {"cpus": hi, "sec": med["hi_sec"],
-                 "docs_per_sec": round(r["docs"] / med["hi_sec"], 2)},
-        "scaling_efficiency": med["efficiency"],
-        "median_of": len(r["rounds"]),
+        "low": {"cpus": lo, "sec": med_lo,
+                "docs_per_sec": round(r["docs"] / med_lo, 2)},
+        "high": {"cpus": hi, "sec": med_hi,
+                 "docs_per_sec": round(r["docs"] / med_hi, 2)},
+        "scaling_efficiency": round(eff, 3),
+        "method": f"ratio of median times over {len(r['rounds'])} "
+                  "back-to-back pairs (drift-robust)",
         "all_rounds": r["rounds"],
     }
 
@@ -169,20 +194,22 @@ def run_kernel_scaling() -> dict:
             return n / (time.time() - t0)
 
     rounds = []
-    for _ in range(3):
+    for _ in range(SCALE_ROUNDS):
         t_lo, t_hi = thr(lo), thr(hi)
         rounds.append({
             "lo_imgs_per_sec": round(t_lo, 1),
             "hi_imgs_per_sec": round(t_hi, 1),
             "efficiency": round((t_hi / t_lo) / (hi / lo), 3),
         })
-    med = sorted(rounds, key=lambda r: r["efficiency"])[len(rounds) // 2]
+    med_lo = _median([r["lo_imgs_per_sec"] for r in rounds])
+    med_hi = _median([r["hi_imgs_per_sec"] for r in rounds])
     return {
         "images": n,
-        "low": {"procs": lo, "imgs_per_sec": med["lo_imgs_per_sec"]},
-        "high": {"procs": hi, "imgs_per_sec": med["hi_imgs_per_sec"]},
-        "scaling_efficiency": med["efficiency"],
-        "median_of": len(rounds),
+        "low": {"procs": lo, "imgs_per_sec": med_lo},
+        "high": {"procs": hi, "imgs_per_sec": med_hi},
+        "scaling_efficiency": round((med_hi / med_lo) / (hi / lo), 3),
+        "method": f"ratio of median throughputs over {len(rounds)} "
+                  "back-to-back pairs (drift-robust)",
         "all_rounds": rounds,
     }
 

@@ -9,20 +9,24 @@ propagation over the undirected pair graph:
 
     label(v) ← min(label(v), min over neighbors' labels)
 
-followed by pointer jumping
+with pointer jumping
 
     label(v) ← label(label(v))
 
-each round, until a fixpoint. Labels are always vertex ids with
-label(u) ≤ u, so the jump is a plain self-lookup that composes the
-propagation with itself — known-label distance doubles per round and
-convergence is O(log diameter) (the shortcutting idea behind
-large-star/small-star, Kiveris et al., "Connected Components in
-MapReduce and Beyond"), where plain propagation is O(diameter).
-Duplicate clusters are usually near-cliques (2-4 rounds either way);
-the jump is the hedge for chain-shaped duplicate graphs a crawl corpus
-can produce (doc A overlaps B overlaps C …). `max_iter` bounds the
-loop; hitting it raises rather than returning a half-converged answer.
+composed into every round from `jump_from` (default 2) on, until a
+fixpoint. Labels are always vertex ids with label(u) ≤ u, so the jump
+is a plain self-lookup that composes the propagation with itself —
+known-label distance doubles per jumping round and convergence is
+O(log diameter) (the shortcutting idea behind large-star/small-star,
+Kiveris et al., "Connected Components in MapReduce and Beyond"),
+where plain propagation is O(diameter). Duplicate clusters are
+usually near-cliques that converge in 2-3 plain rounds — jumping from
+round 0 would double their per-round join cost for nothing (measured:
+sf0.1 LSH keepers 5.8s plain vs 9.6s always-jump) — so the first
+`jump_from` rounds propagate only, and the jump kicks in exactly for
+the chain-shaped duplicate graphs a crawl corpus can produce (doc A
+overlaps B overlaps C …). `max_iter` bounds the loop; hitting it
+raises rather than returning a half-converged answer.
 
 Deterministic: labels are doc ids, min is order-free, no RNG.
 At 10^12 docs the state per iteration is one (vertex, label) row per
@@ -39,6 +43,7 @@ def connected_component_keepers(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    jump_from: int = 2,
     stats: dict | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) pairs → (doc_id, keeper) with keeper = min id of
@@ -72,7 +77,7 @@ def connected_component_keepers(
 
     mass = _label_mass(labels)
     rounds = 0
-    for _ in range(max_iter):
+    for it in range(max_iter):
         rounds += 1
         # propagate: each vertex takes min(own label, neighbors' labels)
         neigh = (
@@ -81,23 +86,28 @@ def connected_component_keepers(
             .agg(F.min("l").alias("nl"))
             .withColumnRenamed("a", "v")
         )
-        prop = (
-            labels.join(neigh, "v", "left")
-            .select("v", F.least("l", F.coalesce("nl", "l")).alias("l"))
-            .persist()
+        prop = labels.join(neigh, "v", "left").select(
+            "v", F.least("l", F.coalesce("nl", "l")).alias("l")
         )
-        # pointer jumping: label(v) ← label(label(v)). Every label is a
-        # vertex id present in `prop` and label(u) ≤ u, so the lookup
-        # only ever decreases labels; composing it with the propagation
-        # doubles the distance labels travel per round → O(log diameter).
-        lookup = prop.select(F.col("v").alias("_lk"), F.col("l").alias("_ll"))
-        new_labels = (
-            prop.join(lookup, prop["l"] == lookup["_lk"], "left")
-            .select("v", F.least("l", F.coalesce("_ll", "l")).alias("l"))
-            .localCheckpoint(eager=True)
-        )
+        if it >= jump_from:
+            # pointer jumping: label(v) ← label(label(v)). Every label
+            # is a vertex id present in `prop` and label(u) ≤ u, so the
+            # lookup only ever decreases labels; composing it with the
+            # propagation doubles the distance labels travel per round
+            # → O(log diameter) once engaged.
+            prop = prop.persist()
+            lookup = prop.select(
+                F.col("v").alias("_lk"), F.col("l").alias("_ll")
+            )
+            new_labels = (
+                prop.join(lookup, prop["l"] == lookup["_lk"], "left")
+                .select("v", F.least("l", F.coalesce("_ll", "l")).alias("l"))
+                .localCheckpoint(eager=True)
+            )
+            prop.unpersist()
+        else:
+            new_labels = prop.localCheckpoint(eager=True)
         new_mass = _label_mass(new_labels)
-        prop.unpersist()
         labels = new_labels
         if new_mass == mass:
             break

@@ -684,9 +684,9 @@ def test_connected_component_keepers_transitive(spark):
 
 def test_connected_component_keepers_chain_log_rounds(spark):
     """Pointer jumping: a 64-vertex chain (diameter 63) must converge in
-    O(log d) rounds, not O(d) — ≤ ceil(log2(63)) + 1 = 7 productive
-    rounds plus the fixpoint-confirming one (plain propagation would
-    need 63)."""
+    O(log d) rounds, not O(d) — 2 plain warm-up rounds (jump_from=2,
+    free for the near-clique common case), then doubling; plain
+    propagation would need 63 rounds."""
     import math
 
     from onnxocr_spark.operators.dedup import connected_component_keepers
@@ -699,7 +699,8 @@ def test_connected_component_keepers_chain_log_rounds(spark):
     got = {r.doc_id: r.keeper
            for r in connected_component_keepers(pairs, stats=stats).collect()}
     assert got == {i: 0 for i in range(n)}
-    bound = math.ceil(math.log2(n - 1)) + 1 + 1  # +1 fixpoint confirm
+    # jump_from plain rounds + log2 doubling rounds + fixpoint confirm
+    bound = 2 + math.ceil(math.log2(n - 1)) + 1 + 1
     assert stats["rounds"] <= bound, stats
 
 
