@@ -856,7 +856,8 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COSINE_DUCK = """
 WITH scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         list_cosine_similarity(a.embedding, b.embedding) AS cos
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           AS cos
   FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id <> a.vec_id
 ),
 ranked AS (
@@ -1109,10 +1110,16 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ::DOUBLE[] everywhere cosine meets a decision boundary: DuckDB's
+# list_cosine_similarity on FLOAT[] computes in float32 (~1e-7 error),
+# while the data's tightest threshold margin is 8.9e-9 (pinned by
+# test_embedding_oracle_float_margins) — the double path matches the
+# Spark/numpy float64 value to the last printed digit.
 _EMB_COS_PAIRS_DUCK = """
 SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.25
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      >= 0.25
 """
 
 # Seed-cell CTEs mirroring operators/similarity.seed_cells: the 16 cell
@@ -1127,7 +1134,8 @@ seeds AS (
 assigned AS (
   SELECT e.vec_id, e.embedding, s.seed_id,
          ROW_NUMBER() OVER (PARTITION BY e.vec_id
-            ORDER BY list_cosine_similarity(e.embedding, s.se) DESC, s.seed_id)
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                            s.se::DOUBLE[]) DESC, s.seed_id)
            AS rn
   FROM embeddings e CROSS JOIN seeds s),
 cells AS (SELECT vec_id, embedding, seed_id AS cell FROM assigned WHERE rn = 1)
@@ -1135,7 +1143,8 @@ cells AS (SELECT vec_id, embedding, seed_id AS cell FROM assigned WHERE rn = 1)
 _BUCKETED_PAIRS_DUCK = """
   SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b
   FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE list_cosine_similarity(a.embedding, b.embedding) >= {t}
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        >= {t}
 """
 
 

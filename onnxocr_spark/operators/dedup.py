@@ -57,11 +57,15 @@ def connected_component_keepers(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
 
-    # initial label: min neighbor vs self. localCheckpoint (here and per
-    # round) truncates the iterative lineage — labels feed the plan
-    # twice per round (propagation + jump lookup), so without
-    # checkpointing the logical plan QUADRUPLES per round and the driver
-    # dies on plan serialization long before the data is big. Local (not
+    # initial label: min neighbor vs self. Iteration state policy:
+    # persist each round and FREE the previous round's cache as soon as
+    # the new one is materialized (block storage stays ~1 copy of the
+    # vertex table), and cut lineage with an eager localCheckpoint every
+    # 4th round — labels feed the plan twice per jumping round
+    # (propagation + jump lookup), so the logical plan quadruples per
+    # round and unbounded growth kills the driver on plan serialization
+    # long before the data is big, while checkpointing EVERY round would
+    # strand un-unpersistable checkpoint blocks per round. Local (not
     # reliable) checkpoints suffice: a lost executor fails the job and
     # the ledger-based resume re-runs it.
     labels = edges.groupBy("a").agg(
@@ -77,6 +81,7 @@ def connected_component_keepers(
 
     mass = _label_mass(labels)
     rounds = 0
+    prev_cached = None  # previous round's persisted labels
     for it in range(max_iter):
         rounds += 1
         # propagate: each vertex takes min(own label, neighbors' labels)
@@ -86,28 +91,34 @@ def connected_component_keepers(
             .agg(F.min("l").alias("nl"))
             .withColumnRenamed("a", "v")
         )
-        prop = labels.join(neigh, "v", "left").select(
+        plan = labels.join(neigh, "v", "left").select(
             "v", F.least("l", F.coalesce("nl", "l")).alias("l")
         )
+        prop = None
         if it >= jump_from:
             # pointer jumping: label(v) ← label(label(v)). Every label
-            # is a vertex id present in `prop` and label(u) ≤ u, so the
-            # lookup only ever decreases labels; composing it with the
-            # propagation doubles the distance labels travel per round
-            # → O(log diameter) once engaged.
-            prop = prop.persist()
+            # is a vertex id present in the propagated table and
+            # label(u) ≤ u, so the lookup only ever decreases labels;
+            # composing it with the propagation doubles the distance
+            # labels travel per round → O(log diameter) once engaged.
+            prop = plan.persist()
             lookup = prop.select(
                 F.col("v").alias("_lk"), F.col("l").alias("_ll")
             )
-            new_labels = (
-                prop.join(lookup, prop["l"] == lookup["_lk"], "left")
-                .select("v", F.least("l", F.coalesce("_ll", "l")).alias("l"))
-                .localCheckpoint(eager=True)
+            plan = prop.join(lookup, prop["l"] == lookup["_lk"], "left").select(
+                "v", F.least("l", F.coalesce("_ll", "l")).alias("l")
             )
+        checkpoint_round = it % 4 == 3
+        new_labels = (
+            plan.localCheckpoint(eager=True) if checkpoint_round
+            else plan.persist()
+        )
+        new_mass = _label_mass(new_labels)  # materializes new_labels
+        if prop is not None:
             prop.unpersist()
-        else:
-            new_labels = prop.localCheckpoint(eager=True)
-        new_mass = _label_mass(new_labels)
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = None if checkpoint_round else new_labels
         labels = new_labels
         if new_mass == mass:
             break

@@ -265,9 +265,12 @@ def cosine_pairs_bucketed(
     (Abbas et al. 2023); ``cosine_pairs_blocked`` remains the global
     exactness engine for small-SF cross-checks."""
     cells = seed_cells(emb, n_cells, id_col, vec_col)
+    # n from the RAW table (same row count, columnar count) — counting
+    # `cells` would execute the whole broadcast+argmax assignment plan
+    # once for the count and again for the pair stage
     return cosine_pairs_blocked(
         cells, threshold, block_rows, id_col, vec_col,
-        cell_col="cell", cells_hint=n_cells,
+        cell_col="cell", cells_hint=n_cells, n_rows=emb.count(),
     )
 
 
@@ -279,6 +282,7 @@ def cosine_pairs_blocked(
     vec_col: str = "embedding",
     cell_col: str | None = None,
     cells_hint: int = 1,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold via block-partitioned GEMM.
 
@@ -305,7 +309,7 @@ def cosine_pairs_blocked(
     ``cells_hint`` scales the block count to the expected per-cell
     population so tile sizes stay ~block_rows.
     """
-    n = emb.count()
+    n = emb.count() if n_rows is None else n_rows
     g = max(1, -(-n // (block_rows * cells_hint)))
     keys = ([cell_col] if cell_col else []) + ["ga", "gb"]
     base = emb.select(

@@ -181,9 +181,13 @@ def ocr_media_spans_split(media: DataFrame, cfg: PipelineConfig) -> DataFrame:
         # grouped map: applyInPandas guarantees the UDF sees every crop
         # of an image in one call (group integrity — the mapInPandas +
         # per-batch-groupby shape could split an image across Arrow
-        # batches); image-grain balance
+        # batches); image-grain balance. The explicit repartition keeps
+        # cfg.ocr_partitions in charge of the stage's parallelism (the
+        # grouped map reuses the compatible hash partitioning instead of
+        # falling back to spark.sql.shuffle.partitions).
         rec = (
             crops.select(*crop_cols)
+            .repartition(n_part, "doc_id", "offset")
             .groupBy("doc_id", "offset")
             .applyInPandas(make_recognize_image_group_fn(cfg), REC_OUTPUT_SCHEMA)
         )

@@ -68,7 +68,12 @@ def cost_balanced_bins(
     (per-partition totals → driver (one int per partition) → offset
     broadcast), so no single-partition window exists anywhere.
     """
-    keyed = media.select("doc_id", "offset", cost.cast("double").alias("_c"))
+    # NULL cost (ref-only rows in a mixed corpus, failed fetches) → 0,
+    # not a TypeError in the python sum passes
+    keyed = media.select(
+        "doc_id", "offset",
+        F.coalesce(cost.cast("double"), F.lit(0.0)).alias("_c"),
+    )
     srt = (
         keyed.orderBy(F.desc("_c"), "doc_id", "offset")
         .rdd.map(lambda r: (r[0], r[1], r[2]))
@@ -93,9 +98,12 @@ def cost_balanced_bins(
             yield doc_id, off, min(n_part - 1, int(acc // quantum))
             acc += c
 
+    # materialize before dropping the sort cache — bins is consumed
+    # lazily by the caller's join, and unpersisting first would replay
+    # the full range-exchange sort a second time
     bins = srt.mapPartitionsWithIndex(assign).toDF(
         "doc_id string, offset int, _rr int"
-    )
+    ).localCheckpoint(eager=True)
     srt.unpersist()
     return bins
 
@@ -124,7 +132,15 @@ def ocr_media_spans(media: DataFrame, cfg: PipelineConfig) -> DataFrame:
         ["media_bytes"] if "media_bytes" in media.columns else []
     )
     cost = None
-    if cfg.ocr_cost_col and cfg.ocr_cost_col in media.columns:
+    if cfg.ocr_cost_col:
+        if cfg.ocr_cost_col not in media.columns:
+            # an explicit opt-in naming a missing column is a config
+            # bug — failing beats silently running the skewed corpus
+            # unbalanced (same contract as unknown model names)
+            raise KeyError(
+                f"ocr_cost_col {cfg.ocr_cost_col!r} not in media columns "
+                f"{media.columns}"
+            )
         # a binary column means "balance by its byte size"
         cost = (
             F.length(cfg.ocr_cost_col)

@@ -439,6 +439,46 @@ def test_cosine_pairs_bucketed_is_cell_restricted_subset(spark):
         "pair stage must be keyed by the cell id")
 
 
+def test_embedding_oracle_float_margins():
+    """Cross-engine float-boundary audit for the embedding battery (the
+    analog of check_oracles --audit-floats, which only sees ROUND): the
+    seed-cell argmax and the 0.25/0.45 cosine thresholds are portable
+    between Spark's fold, numpy's GEMM and DuckDB's
+    list_cosine_similarity only if no decision sits within float noise
+    of its boundary. Pin the margins on the driver-generated data at
+    both gated SFs. All engines now evaluate in float64 (the oracles
+    cast ::DOUBLE[] — DuckDB's FLOAT[] path computes in float32 with
+    ~1e-7 error, more than the tightest threshold margin below), so
+    cross-engine discrepancy is reassociation-only (~1e-14): 1e-12 on
+    the thresholds and 1e-6 on the argmax still leave orders of
+    safety."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    for sf in ("0.01", "0.1"):
+        t = pq.read_table(f"/root/testdata/sf{sf}/embeddings.parquet")
+        ids = t["vec_id"].to_numpy()
+        mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        order = sorted(
+            range(len(ids)),
+            key=lambda k: (hashlib.md5(str(ids[k]).encode()).hexdigest(),
+                           ids[k]),
+        )
+        seeds = norm[order[:16]]
+        cos = norm @ seeds.T
+        top2 = np.sort(cos, axis=1)[:, -2:]
+        argmax_margin = float((top2[:, 1] - top2[:, 0]).min())
+        sim = norm @ norm.T
+        vals = sim[np.triu_indices(len(ids), 1)]
+        m25 = float(np.abs(vals - 0.25).min())
+        m45 = float(np.abs(vals - 0.45).min())
+        assert argmax_margin > 1e-6, (sf, argmax_margin)
+        assert m25 > 1e-12 and m45 > 1e-12, (sf, m25, m45)
+
+
 def test_ann_recall_gates_vs_brute_force(spark):
     """Quantitative pass criterion for the two approximate ANN operators
     (VERDICT r2 item 5): recall@5 against the exact brute-force top-k,
