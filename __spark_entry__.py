@@ -1338,9 +1338,64 @@ def _synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed (r3): the real decode→features UDF over rendered
+    media, projected to the analytically-derivable columns — the bar
+    contract (models/barcode.py) makes every canvas's ink sum an exact
+    integer, so the oracle re-derives mean_intensity to the bit
+    (markers 4·W·(255+128) + payload 24·16·Σ(100+8·digit) per line,
+    divided by the 96k×448 canvas). phash stays covered by pytest
+    (test_image_features) — deriving 8×8 block means of bar geometry
+    in SQL buys no extra correctness signal over the exact ink mean."""
     from onnxocr_spark.operators.multimodal import image_features
 
-    return image_features(_synthetic_media(spark, sf_dir))
+    feats = image_features(_synthetic_media(spark, sf_dir))
+    return feats.filter("ok").select(
+        "media_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("channels").cast("bigint").alias("channels"),
+        "mean_intensity",
+    )
+
+
+_IMAGE_FEATURES_DUCK = """
+WITH im AS (
+  SELECT doc_id,
+         2 + ('0x' || substr(sha256(printf('doc_%012d', doc_id)
+                  || '/0/lines'), 1, 16))::UBIGINT % 3 AS k
+  FROM documents WHERE doc_id < 60 AND doc_id % 3 = 0
+),
+lns AS (
+  SELECT doc_id, k, unnest(range(CAST(k AS BIGINT))) AS j FROM im
+),
+txt AS (
+  SELECT doc_id, k, j,
+         'line' || CAST(j AS VARCHAR) || ' '
+           || substr(printf('doc_%012d', doc_id), 13, 4) || ':0' AS t
+  FROM lns
+),
+chars AS (
+  SELECT doc_id, k, j, t, unnest(range(1, length(t) + 1)) AS p FROM txt
+),
+charsum AS (
+  SELECT doc_id, k, j, MAX(length(t)) AS n,
+         SUM((ascii(substr(t, CAST(p AS INT), 1)) - 32) // 16
+             + (ascii(substr(t, CAST(p AS INT), 1)) - 32) % 16) AS s
+  FROM chars GROUP BY doc_id, k, j
+),
+inks AS (
+  SELECT doc_id, k,
+         SUM(4 * (2 * 16 * n) * (255 + 128)
+             + 24 * 16 * (2 * n * 100 + 8 * s)) AS ink
+  FROM charsum GROUP BY doc_id, k
+)
+SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(448 AS BIGINT) AS width,
+       CAST(96 * k AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(ink AS DOUBLE) / (96 * k * 448) AS mean_intensity
+FROM inks
+"""
 
 
 def q_multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1720,6 +1775,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _LANG_ID,
         "lang_id_ngram": _lang_id_ngram_duck(),
         "multimodal_image_dims": _IMAGE_DIMS_DUCK,
+        "multimodal_image_features": _IMAGE_FEATURES_DUCK,
         "multimodal_audio_features": _AUDIO_FEATURES_DUCK,
         "multimodal_video_frames": _VIDEO_FRAMES_DUCK,
         "quality_score": _QUALITY_DUCK,

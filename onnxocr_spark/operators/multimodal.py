@@ -80,9 +80,14 @@ def image_features(media: DataFrame) -> DataFrame:
                                      "decode failed"))
                         continue
                     gray = img.mean(axis=2, dtype=np.float32)
+                    # float64 accumulate: pixel totals exceed 2^24, so a
+                    # float32 mean is order-dependent in its last ~1e-6;
+                    # the float64 sum of integer-valued pixels is exact
+                    # and bit-identical to the SQL oracle's ratio
                     rows.append(
                         (r.media_id, img.shape[1], img.shape[0], img.shape[2],
-                         float(gray.mean()), _phash_gray(gray), True, "")
+                         float(gray.mean(dtype=np.float64)),
+                         _phash_gray(gray), True, "")
                     )
                 except Exception as exc:  # noqa: BLE001
                     rows.append((r.media_id, 0, 0, 0, 0.0, "", False,
