@@ -1207,6 +1207,56 @@ FROM reach GROUP BY v
 )
 
 
+def q_semantic_cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding branch's end product, mirroring
+    `dedup_cleaned_corpus` on the text branch: every semantic-cluster
+    member except its keeper is retired from the embeddings table via
+    the same left-anti join shape the ledger resume uses. Survivors
+    carry their label and vector dimensionality (exact integers —
+    fingerprinting raw float text would round arbitrary values at a
+    fixed precision, the exact .5-boundary class the float rules ban)."""
+    from onnxocr_spark.operators.dedup import connected_component_keepers
+    from onnxocr_spark.operators.similarity import cosine_pairs_bucketed
+
+    _register(spark, sf_dir)
+    pairs = cosine_pairs_bucketed(
+        spark.table("embeddings"), threshold=0.45, n_cells=16, block_rows=1024
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    retired = connected_component_keepers(pairs).filter(
+        F.col("doc_id") != F.col("keeper")
+    ).select(F.col("doc_id").alias("vec_id"))
+    emb = spark.table("embeddings")
+    return emb.join(retired, "vec_id", "left_anti").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("label").cast("bigint").alias("label"),
+        F.size("embedding").cast("bigint").alias("dim"),
+    )
+
+
+_SEMANTIC_CLEANED_DUCK = (
+    "WITH RECURSIVE "
+    + _CELLS_DUCK
+    + ", pairs AS ("
+    + _BUCKETED_PAIRS_DUCK.format(t=0.45)
+    + """),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
+reach(v, l) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.v
+),
+retired AS (
+  SELECT v AS vec_id FROM reach GROUP BY v HAVING v <> MIN(l)
+)
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+       CAST(e.label AS BIGINT) AS label,
+       CAST(len(e.embedding) AS BIGINT) AS dim
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT vec_id FROM retired)
+"""
+)
+
 
 # top-k terms across the corpus (classic corpus-stats aggregation)
 _TOP_TERMS_SPARK = """
@@ -1734,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_cosine_bucketed": q_dedup_embedding_cosine_bucketed,
         "dedup_semantic_keepers": q_dedup_semantic_keepers,
+        "semantic_cleaned_corpus": q_semantic_cleaned_corpus,
     }
 
 
@@ -1790,4 +1841,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _EMB_COS_PAIRS_DUCK,
         "dedup_embedding_cosine_bucketed": _EMB_COS_BUCKETED_DUCK,
         "dedup_semantic_keepers": _SEMANTIC_KEEPERS_DUCK,
+        "semantic_cleaned_corpus": _SEMANTIC_CLEANED_DUCK,
     }
