@@ -1310,13 +1310,13 @@ def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_id_ngram_duck() -> str:
-    """Independent DuckDB re-derivation of the trigram classifier: the
-    import-time profiles (deterministic pure functions of the embedded
-    seed texts) are inlined as VALUES; scoring, the alphabetical
-    tie-break (Python max over sorted keys), and the 0.08 'unk' floor
-    are replicated in SQL. Verified equal to classify_language on
-    sf0.001 and sf0.01."""
+def _lang_pred_duck_cte() -> str:
+    """Shared DuckDB re-derivation of the trigram classifier, up to a
+    `pred(doc_id, lang_pred)` CTE: the import-time profiles
+    (deterministic pure functions of the embedded seed texts) are
+    inlined as VALUES; scoring, the alphabetical tie-break (Python max
+    over sorted keys), and the 0.08 'unk' floor are replicated in SQL.
+    Verified equal to classify_language on sf0.001 and sf0.01."""
     from onnxocr_spark.operators.textstats import _PROFILES
 
     vals = ", ".join(
@@ -1350,7 +1350,92 @@ pred AS (
          COALESCE(CASE WHEN r.score >= 0.08 THEN r.lang END, 'unk') AS lang_pred
   FROM tot t LEFT JOIN ranked r ON r.doc_id = t.doc_id AND r.rn = 1
 )
+"""
+
+
+def _lang_id_ngram_duck() -> str:
+    return _lang_pred_duck_cte() + """
 SELECT lang_pred, CAST(count(*) AS BIGINT) AS n FROM pred GROUP BY lang_pred
+"""
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality validation: confusion counts of the corpus's STORED
+    language label vs the trigram classifier's prediction — the audit a
+    training-data pipeline runs before trusting either signal for
+    filtering. One narrow join against the documents scan; confusion
+    cells are a map-side-combined groupBy."""
+    from onnxocr_spark.operators.textstats import lang_id_ngram
+
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    return (
+        lang_id_ngram(docs)
+        .groupBy(F.col("lang").alias("stored"), F.col("lang_pred"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def _lang_confusion_duck() -> str:
+    return _lang_pred_duck_cte() + """
+SELECT d.lang AS stored, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+GROUP BY d.lang, p.lang_pred
+"""
+
+
+# Per-source corpus stats (provenance accounting: docs / chars / tokens
+# per source — the partition-pruning axis a curation pipeline filters on).
+_SOURCE_STATS_SPARK = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars,
+       CAST(SUM(size(split(text, ' '))) AS BIGINT) AS tokens
+FROM documents GROUP BY source
+"""
+_SOURCE_STATS_DUCK = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+FROM documents GROUP BY source
+"""
+
+# Benchmark decontamination: docs sharing any token 8-gram with the
+# held-out "eval" slice (doc_id % 100 < 2 stands in for a benchmark
+# set) are flagged with their overlap count. Scale shape: the eval
+# shingle set is tiny relative to the corpus (real benchmarks are
+# ~10^5 docs vs 10^12), so the join broadcasts the eval side and the
+# corpus side is a narrow explode → the only large shuffle carries one
+# row per (contaminated doc, matching shingle) AFTER the semi-join
+# filter, not the full shingle stream.
+_DECONTAM_SPARK = """
+WITH sh AS (
+  SELECT doc_id, explode(transform(sequence(1, size(t) - 7),
+             i -> concat_ws(' ', slice(t, i, 8)))) AS shingle
+  FROM (SELECT doc_id, split(text, ' ') AS t FROM ({docs_src}))
+  WHERE size(t) >= 8
+),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 < 2),
+tr AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 100 >= 2)
+SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM tr JOIN ev ON tr.shingle = ev.shingle
+GROUP BY tr.doc_id
+"""
+_DECONTAM_DUCK = """
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(t) - 7),
+             i -> array_to_string(t[CAST(i + 1 AS INT):CAST(i + 8 AS INT)],
+                                  ' '))) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 8
+),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 < 2),
+tr AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 100 >= 2)
+SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM tr JOIN ev ON tr.shingle = ev.shingle
+GROUP BY tr.doc_id
 """
 
 
@@ -1768,6 +1853,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm_stats": _sqlq(_EMB_NORM_SPARK),
         "lang_id": _sqlq(_LANG_ID),
         "lang_id_ngram": q_lang_id_ngram,
+        "lang_confusion": q_lang_confusion,
+        "source_stats": _sqlq(_SOURCE_STATS_SPARK),
+        "decontaminate_overlap": _sqlq_fanout(_DECONTAM_SPARK),
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_image_dims": q_multimodal_image_dims,
         "multimodal_audio_features": q_multimodal_audio_features,
@@ -1825,6 +1913,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norm_stats": _EMB_NORM_DUCK,
         "lang_id": _LANG_ID,
         "lang_id_ngram": _lang_id_ngram_duck(),
+        "lang_confusion": _lang_confusion_duck(),
+        "source_stats": _SOURCE_STATS_DUCK,
+        "decontaminate_overlap": _DECONTAM_DUCK,
         "multimodal_image_dims": _IMAGE_DIMS_DUCK,
         "multimodal_image_features": _IMAGE_FEATURES_DUCK,
         "multimodal_audio_features": _AUDIO_FEATURES_DUCK,
