@@ -233,6 +233,41 @@ def test_cost_balanced_bins_absorb_size_outliers(spark):
     assert max(per) / min(per) <= 1.3, per
 
 
+def test_cost_balanced_bins_prefix_invariant(spark):
+    """The structural guarantee of prefix-sum binning, including the
+    indivisible-outlier case a spread ratio can't express: every bin's
+    total cost minus its single largest item is ≤ the fair-share
+    quantum (total / n_part) — i.e. no bin is overfull by more than
+    one item, which is optimal for indivisible items."""
+    from pyspark.sql import functions as F
+
+    from onnxocr_spark.pipeline import cost_balanced_bins
+
+    cases = [
+        [100] * 64 + [1000],          # outlier below the quantum
+        [100] * 10 + [5000],          # outlier ABOVE the quantum
+        [2 ** (i % 11) for i in range(80)],  # exponential spread
+        [7],                           # fewer items than bins
+    ]
+    for costs in cases:
+        rows = [(f"d{i}", 0, c) for i, c in enumerate(costs)]
+        media = spark.createDataFrame(
+            rows, "doc_id string, offset int, cost int"
+        )
+        n_part = 4
+        quantum = sum(costs) / n_part
+        per = (
+            media.join(cost_balanced_bins(media, n_part, F.col("cost")),
+                       ["doc_id", "offset"])
+            .groupBy("_rr")
+            .agg(F.sum("cost").alias("s"), F.max("cost").alias("m"))
+            .collect()
+        )
+        assert 1 <= len(per) <= n_part, (costs, per)
+        for r in per:
+            assert r.s - r.m <= quantum + 1e-9, (costs, r)
+
+
 def test_cost_balanced_ocr_equals_round_robin(spark):
     """Placement is semantically free: the cost-weighted OCR stage
     (ocr_cost_col on an inline-bytes corpus, binary column → byte size)
