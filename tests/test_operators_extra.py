@@ -439,6 +439,56 @@ def test_cosine_pairs_bucketed_is_cell_restricted_subset(spark):
         "pair stage must be keyed by the cell id")
 
 
+def test_seed_cells_partition_invariant(spark):
+    """seed_cells must be a pure function of the DATA, not the layout:
+    identical cell assignments whatever the partitioning of the input
+    (the DuckDB oracles re-derive the cells with no notion of
+    partitions, and retried/speculated tasks must agree)."""
+    from onnxocr_spark.operators.similarity import seed_cells
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = {r.vec_id: r.cell for r in seed_cells(emb, 8).collect()}
+    for layout in (emb.repartition(17), emb.repartition(3, "label"),
+                   emb.coalesce(1)):
+        got = {r.vec_id: r.cell for r in seed_cells(layout, 8).collect()}
+        assert got == base
+
+
+def test_decontaminate_short_doc_guard(spark, tmp_path):
+    """Docs under the 8-token shingle width must be silently clean (no
+    shingles → never flagged, no crash) in BOTH engines — the shipped
+    corpus has no such docs, so the battery never exercises the guard."""
+    import duckdb
+
+    import __spark_entry__ as em
+
+    rows = [
+        (0, "alpha beta gamma"),                      # eval slice, too short
+        (1, "w0 w1 w2 w3 w4 w5 w6 w7 w8"),            # eval slice (id%100<2)
+        (102, "w0 w1 w2 w3 w4 w5 w6 w7 other tail"),  # overlaps eval 8-gram
+        (103, "x0 x1 x2 x3 x4 x5 x6 x7 x8"),          # clean
+        (104, "tiny doc"),                            # too short, train side
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "docs.parquet")
+    df.write.parquet(path)
+
+    spark.read.parquet(path).createOrReplaceTempView("documents")
+    got = {
+        (r.doc_id, r.n_hits)
+        for r in spark.sql(
+            em._DECONTAM_SPARK.format(
+                docs_src="SELECT doc_id, text FROM documents")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    oracle = set(map(tuple, con.execute(em._DECONTAM_DUCK).fetchall()))
+    assert got == oracle == {(102, 1)}
+
+
 def test_embedding_oracle_float_margins():
     """Cross-engine float-boundary audit for the embedding battery (the
     analog of check_oracles --audit-floats, which only sees ROUND): the
