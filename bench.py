@@ -30,13 +30,14 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# doc budget for the scaling runs: big enough that fixed per-job cost
-# (stage scheduling, AQE planning, final collect) is noise against the
-# measured window — after the round-2 kernel speedups, 20k docs ran in
-# ~14 s at the hi level and the fixed ~3 s ate the efficiency number;
-# 32k keeps the local[8] hi run near 50 s at current host speeds while
-# letting 5 rounds fit the same wall budget 3 rounds of 40k used
-SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "32000"))
+# doc budget for the scaling runs: big enough that (a) fixed per-job
+# cost (stage scheduling, AQE planning, final collect) is noise against
+# the measured window, and (b) each measurement INTEGRATES over more
+# than one of the host's minutes-scale drift windows — r3 saw lo times
+# swing ±13% at 32k (lo ≈ 75 s ≈ one window), which is the dominant
+# residual variance in the efficiency estimate. 48k puts the lo
+# measurement at ~2 windows and the hi run near 36 s.
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "48000"))
 # rounds for the scaling evidence. The host's throughput drifts on a
 # minutes scale (r3: the NO-Spark multiprocessing control swung
 # 0.80→1.13 efficiency across back-to-back rounds), and a lo
@@ -269,6 +270,28 @@ def main() -> None:
             kernel_scaling = run_kernel_scaling()
         except Exception as exc:
             kernel_scaling = {"error": str(exc)[:300]}
+    # Engine vs hardware: on this single VM, per-core throughput itself
+    # drops with occupancy (DVFS / shared memory bandwidth: the no-Spark
+    # multiprocessing control measures 200 img/s/core at 4 busy cores vs
+    # ~170 at 16 — identical code, zero coordination). Separate cluster
+    # nodes do NOT share that power/bandwidth envelope, so the honest
+    # N-vs-4N-executors estimate divides the e2e ratio by the control's
+    # ratio measured in the same session. Both raw numbers stay in the
+    # output.
+    if (
+        isinstance(scaling, dict)
+        and "scaling_efficiency" in scaling
+        and isinstance(kernel_scaling, dict)
+        and kernel_scaling.get("scaling_efficiency")
+    ):
+        scaling["hardware_control_efficiency"] = kernel_scaling[
+            "scaling_efficiency"
+        ]
+        scaling["engine_efficiency_normalized"] = round(
+            scaling["scaling_efficiency"]
+            / kernel_scaling["scaling_efficiency"],
+            3,
+        )
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     out = {
         "metric": "headline_queries_total_sec",
