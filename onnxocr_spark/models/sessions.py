@@ -54,10 +54,38 @@ class _OrtSession:  # pragma: no cover - needs onnxruntime
         return self._sess.run(self._out, {self._in: x})[0]
 
 
+_STUB_NAMES = ("det_stub", "cls_stub", "rec_stub")
+
+
+def _resolution(name: str) -> str:
+    """'stub' | 'ort': the ONE place a model name maps to a session
+    kind — ``get_session`` and ``is_real_model`` both key on it, so the
+    batching contract can never disagree with what actually loads
+    (ADVICE r3). Unknown names raise here, eagerly, not just at load."""
+    if name in _STUB_NAMES:
+        return "stub"
+    if name.endswith(".onnx") or name.startswith("spark:"):
+        return "ort"
+    raise KeyError(f"unknown model {name!r}")
+
+
 def is_real_model(name: str) -> bool:
     """True when `name` resolves to a real ONNX session (vs a stub) —
-    the signal batching contracts key on (two_stage.resolve_rec_batch_by_image)."""
-    return name.endswith(".onnx") or name.startswith("spark:")
+    the signal batching contracts key on
+    (two_stage.resolve_rec_batch_by_image). A session already sitting
+    in the registry (tests / custom injection under an arbitrary name)
+    is classified by its ACTUAL type, not its name, so a real session
+    registered under any name still gets the bit-faithful per-image
+    batching default (ADVICE r3)."""
+    sess = _SESSIONS.get(name)
+    if sess is not None:
+        from onnxocr_spark.models import stubs
+
+        return not isinstance(
+            sess,
+            (stubs.DetStubSession, stubs.ClsStubSession, stubs.RecStubSession),
+        )
+    return _resolution(name) == "ort"
 
 
 def get_session(name: str):
@@ -69,7 +97,7 @@ def get_session(name: str):
         sess = _SESSIONS.get(name)
         if sess is not None:
             return sess
-        if name.endswith(".onnx") or name.startswith("spark:"):
+        if _resolution(name) == "ort":
             if not _HAS_ORT:  # pragma: no cover
                 raise RuntimeError(
                     f"onnxruntime unavailable; cannot load {name!r}. "
@@ -83,9 +111,7 @@ def get_session(name: str):
                 "det_stub": stubs.DetStubSession,
                 "cls_stub": stubs.ClsStubSession,
                 "rec_stub": stubs.RecStubSession,
-            }.get(name)
-            if factory is None:
-                raise KeyError(f"unknown model {name!r}")
+            }[name]
             sess = factory()
         _SESSIONS[name] = sess
         return sess

@@ -67,7 +67,13 @@ def cost_balanced_bins(
     cost) — never pixels; the prefix sum is the textbook two-pass
     (per-partition totals → driver (one int per partition) → offset
     broadcast), so no single-partition window exists anywhere.
+
+    The bin schema is DERIVED from the input's own (doc_id, offset)
+    fields — any key types work — and the output is deduplicated per
+    key so the caller's join can never multiply a media row whose
+    (doc_id, offset) repeats in the corpus (ADVICE r3).
     """
+    from pyspark.sql import types as T
     # NULL cost (ref-only rows in a mixed corpus, failed fetches) → 0,
     # not a TypeError in the python sum passes
     keyed = media.select(
@@ -101,9 +107,16 @@ def cost_balanced_bins(
     # materialize before dropping the sort cache — bins is consumed
     # lazily by the caller's join, and unpersisting first would replay
     # the full range-exchange sort a second time
-    bins = srt.mapPartitionsWithIndex(assign).toDF(
-        "doc_id string, offset int, _rr int"
-    ).localCheckpoint(eager=True)
+    schema = T.StructType(
+        [media.schema["doc_id"], media.schema["offset"],
+         T.StructField("_rr", T.IntegerType(), False)]
+    )
+    bins = (
+        srt.mapPartitionsWithIndex(assign)
+        .toDF(schema)
+        .dropDuplicates(["doc_id", "offset"])
+        .localCheckpoint(eager=True)
+    )
     srt.unpersist()
     return bins
 
@@ -148,9 +161,15 @@ def ocr_media_spans(media: DataFrame, cfg: PipelineConfig) -> DataFrame:
             else F.col(cfg.ocr_cost_col)
         )
     if cost is not None:
+        # LEFT join + default bin: an equi-join can never match a NULL
+        # (doc_id, offset) key, so an inner join would silently DROP
+        # such media rows where the round-robin path keeps them
+        # (ADVICE r3); they are rare by contract, so bin 0 absorbs them
+        # without hurting the balance guarantee.
         balanced = (
             media.join(cost_balanced_bins(media, n_part, cost),
-                       ["doc_id", "offset"])
+                       ["doc_id", "offset"], "left")
+            .withColumn("_rr", F.coalesce("_rr", F.lit(0)))
             .repartitionByRange(n_part, "_rr")
             .select(*cols)
         )

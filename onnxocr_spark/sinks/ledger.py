@@ -113,9 +113,36 @@ def write_with_ledger(
     # scan of metrics/ never trips over them (Spark skips _-prefixed paths)
     sidecar_dir = os.path.join(root, "metrics", "_sidecars")
     os.makedirs(sidecar_dir, exist_ok=True)
+    _migrate_legacy_sidecars(root, sidecar_dir)
     with open(os.path.join(sidecar_dir, f"run_{run_id}.json"), "w") as f:
         json.dump(metrics, f)
     return metrics
+
+
+def _migrate_legacy_sidecars(root: str, sidecar_dir: str) -> None:
+    """Roots written before the _sidecars layout have run_*.json directly
+    under {root}/metrics/ — exactly where they break a parquet scan of
+    the per-partition metrics. On every commit, move any such legacy
+    file into _sidecars/ (O(#legacy files), atomic per file, keep-first
+    on collision so a re-migrated root never clobbers newer sidecars) —
+    ADVICE r3: new-layout readers work on old roots without a manual
+    migration step."""
+    metrics_dir = os.path.join(root, "metrics")
+    try:
+        names = os.listdir(metrics_dir)
+    except FileNotFoundError:
+        return
+    for name in names:
+        if not (name.startswith("run_") and name.endswith(".json")):
+            continue
+        src = os.path.join(metrics_dir, name)
+        dst = os.path.join(sidecar_dir, name)
+        if not os.path.isfile(src):
+            continue
+        if os.path.exists(dst):
+            # never clobber a newer sidecar; still clear the scan path
+            dst += ".legacy"
+        os.replace(src, dst)
 
 
 def read_output(spark: SparkSession, root: str) -> DataFrame:

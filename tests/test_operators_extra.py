@@ -418,25 +418,90 @@ def test_cosine_pairs_bucketed_is_cell_restricted_subset(spark):
 
     got_df = cosine_pairs_bucketed(emb, threshold=0.3, n_cells=8,
                                    block_rows=40)
+    # plan BEFORE execution — the final AQE string elides materialized
+    # stages, so the structural assertions run on the initial plan
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
     got = {(r.id_a, r.id_b) for r in got_df.collect()}
     exact = {(r.id_a, r.id_b)
              for r in cosine_pairs_blocked(emb, threshold=0.3,
                                            block_rows=40).collect()}
     assert got == {(a, b) for a, b in exact if cells[a] == cells[b]}
 
-    plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    # the ONLY nested-loop join allowed is the broadcast of the C seed
-    # rows (a map-side expand of constant width, not a pair blowup)
+    # r4 shape (VERDICT r3 item 7): assignment is a per-row Arrow UDF —
+    # no join of any kind feeds the cells, and the embedding payload
+    # crosses exactly ONE exchange, the pair stage's (cell, ga, gb) one
     import re
-    # every nested-loop join must build on the broadcast (seed) side —
-    # a constant-width map-side expand, never a pair blowup
-    bnl_lines = [l for l in plan.splitlines()
-                 if "BroadcastNestedLoopJoin" in l]
-    assert bnl_lines and all("BuildRight" in l for l in bnl_lines), plan
-    assert "BroadcastExchange IdentityBroadcastMode" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" not in plan, plan
     assert re.search(r"hashpartitioning\(cell", plan), (
         "pair stage must be keyed by the cell id")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_seed_cells_assignment_adds_no_shuffle(spark):
+    """VERDICT r3 item 7: the argmax-cosine cell assignment must not
+    move the embedding payload — no Exchange and no join anywhere in
+    the seed_cells output plan (the seeds are a bounded driver-side
+    collect captured by one Arrow-batched UDF)."""
+    from onnxocr_spark.operators.similarity import seed_cells
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (
+        seed_cells(emb, 8)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "ArrowEvalPython" in plan or "Python" in plan, plan
+
+
+def test_adaptive_n_cells_derivation():
+    """Pin the C = max(16, ceil(sqrt(N))) rule and its exactness: the
+    Python integer-isqrt derivation must equal DuckDB's double-sqrt
+    GREATEST(16, CEIL(SQRT(N))) (the oracle CTE's nc) for every N the
+    battery or a realistic corpus can hit, including perfect squares
+    and their neighbors where double rounding could plausibly bite."""
+    import duckdb
+
+    from onnxocr_spark.operators.similarity import adaptive_n_cells
+
+    assert adaptive_n_cells(0) == 16
+    assert adaptive_n_cells(1) == 16
+    assert adaptive_n_cells(256) == 16
+    assert adaptive_n_cells(257) == 17
+    assert adaptive_n_cells(500) == 23   # sf0.01 embeddings
+    assert adaptive_n_cells(2000) == 45  # sf0.1 embeddings
+    assert adaptive_n_cells(10**12) == 10**6
+
+    con = duckdb.connect()
+    ns = [1, 2, 255, 256, 257, 500, 2000, 9999, 10000, 10001,
+          10**6 - 1, 10**6, 10**6 + 1, 10**12 - 1, 10**12, 10**12 + 1]
+    for n in ns:
+        (sql_c,) = con.execute(
+            "SELECT GREATEST(16, CAST(CEIL(SQRT(?::DOUBLE)) AS BIGINT))",
+            [n],
+        ).fetchone()
+        assert sql_c == adaptive_n_cells(n), (n, sql_c, adaptive_n_cells(n))
+
+
+def test_cosine_pairs_bucketed_default_is_adaptive(spark):
+    """The shipped queries pass n_cells=None — pin that this resolves
+    to adaptive_n_cells(N) cells (sf0.001: N=100 → 16 floor-bound;
+    the derivation difference across SFs is covered by the oracle gate
+    at sf0.01=23 / sf0.1=45)."""
+    from onnxocr_spark.operators.similarity import (
+        adaptive_n_cells, cosine_pairs_bucketed, seed_cells,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    nc = adaptive_n_cells(n)
+    cells = {r.vec_id: r.cell for r in seed_cells(emb, nc).collect()}
+    got = {(r.id_a, r.id_b)
+           for r in cosine_pairs_bucketed(emb, threshold=0.3).collect()}
+    # every returned pair shares its adaptive cell
+    assert got, "sf0.001 must produce at least one within-cell pair"
+    assert all(cells[a] == cells[b] for a, b in got)
 
 
 def test_seed_cells_partition_invariant(spark):
@@ -501,11 +566,15 @@ def test_embedding_oracle_float_margins():
     ~1e-7 error, more than the tightest threshold margin below), so
     cross-engine discrepancy is reassociation-only (~1e-14): 1e-12 on
     the thresholds and 1e-6 on the argmax still leave orders of
-    safety."""
+    safety. r4: seeds are the ADAPTIVE count (sf0.01: 23, sf0.1: 45) —
+    measured margins 8.4e-5 / 1.8e-6, still ≥8 orders above the
+    ~1e-14 reassociation noise."""
     import hashlib
 
     import numpy as np
     import pyarrow.parquet as pq
+
+    from onnxocr_spark.operators.similarity import adaptive_n_cells
 
     for sf in ("0.01", "0.1"):
         t = pq.read_table(f"/root/testdata/sf{sf}/embeddings.parquet")
@@ -517,7 +586,7 @@ def test_embedding_oracle_float_margins():
             key=lambda k: (hashlib.md5(str(ids[k]).encode()).hexdigest(),
                            ids[k]),
         )
-        seeds = norm[order[:16]]
+        seeds = norm[order[: adaptive_n_cells(len(ids))]]
         cos = norm @ seeds.T
         top2 = np.sort(cos, axis=1)[:, -2:]
         argmax_margin = float((top2[:, 1] - top2[:, 0]).min())
@@ -534,9 +603,11 @@ def test_ann_recall_gates_vs_brute_force(spark):
     (VERDICT r2 item 5): recall@5 against the exact brute-force top-k,
     at the same parameters the queries() entries ship. Both operators
     are deterministic (sha256 hyperplanes / md5-seeded k-means sample),
-    so the measured recalls are stable — 0.86 (LSH) and 0.62 (IVF,
-    nprobe=4/16 on near-isotropic 64-dim vectors) on sf0.001; gates sit
-    just below to absorb BLAS summation-order differences only."""
+    so the measured recalls are stable — 0.86 (LSH) and 0.88 (IVF,
+    r4 shipped params nprobe=8/16, iters=10, on near-isotropic 64-dim
+    vectors where recall tracks candidate coverage) on sf0.001; gates
+    sit just below to absorb BLAS summation-order differences only
+    (IVF gate ≥0.75 per VERDICT r3 item 5)."""
     from onnxocr_spark.operators.similarity import (
         brute_force_topk, ivf_topk, lsh_topk,
     )
@@ -547,10 +618,11 @@ def test_ann_recall_gates_vs_brute_force(spark):
     lsh = {(r.query_id, r.neighbor_id)
            for r in lsh_topk(emb, 5, 10, n_tables=16, bits=4).collect()}
     ivf = {(r.query_id, r.neighbor_id)
-           for r in ivf_topk(emb, 5, 10, n_clusters=16, nprobe=4).collect()}
+           for r in ivf_topk(emb, 5, 10, n_clusters=16, nprobe=8,
+                             iters=10).collect()}
     assert len(bf) == 50
     assert len(lsh & bf) / len(bf) >= 0.80
-    assert len(ivf & bf) / len(bf) >= 0.60
+    assert len(ivf & bf) / len(bf) >= 0.75
 
 
 # ------------------------------------------------------------ PDF source
@@ -709,6 +781,31 @@ def test_rec_batch_by_image_defaults_to_real_model(spark):
     assert resolve_rec_batch_by_image(
         PipelineConfig(rec_batch_by_image=True)
     ) is True
+
+
+def test_is_real_model_keys_on_registry_resolution():
+    """ADVICE r3: the batching-contract signal must classify by what
+    actually RESOLVES, not by the name string — a session pre-registered
+    under an arbitrary name is typed by its object (a real session gets
+    the per-image default whatever it is called), and a name the
+    registry cannot resolve raises eagerly instead of silently keeping
+    crop-grain batching."""
+    import pytest as _pt
+
+    from onnxocr_spark.models import sessions, stubs
+
+    assert sessions.is_real_model("rec_stub") is False
+    assert sessions.is_real_model("models/rec.onnx") is True
+    with _pt.raises(KeyError):
+        sessions.is_real_model("totally_unknown_model")
+    try:
+        sessions._SESSIONS["custom_rec"] = object()  # a "real" session
+        assert sessions.is_real_model("custom_rec") is True
+        sessions._SESSIONS["custom_stub"] = stubs.RecStubSession()
+        assert sessions.is_real_model("custom_stub") is False
+    finally:
+        sessions._SESSIONS.pop("custom_rec", None)
+        sessions._SESSIONS.pop("custom_stub", None)
 
 
 def test_streaming_stateful_exact_dedup(spark, tmp_path):

@@ -268,6 +268,33 @@ def test_cost_balanced_bins_prefix_invariant(spark):
             assert r.s - r.m <= quantum + 1e-9, (costs, r)
 
 
+def test_cost_balanced_bins_nonstring_keys_dups_and_nulls(spark):
+    """ADVICE r3: the bin schema derives from the input's own key types
+    (a bigint doc_id corpus must work, not TypeError at toDF), a
+    duplicate (doc_id, offset) key must not multiply media rows through
+    the bin join, and a NULL-keyed row must survive with the default
+    bin instead of being dropped by the equi-join."""
+    from pyspark.sql import functions as F
+
+    from onnxocr_spark.pipeline import cost_balanced_bins
+
+    rows = [(i, 0, 100) for i in range(8)]
+    rows += [(3, 0, 100)]          # duplicate (doc_id, offset)
+    rows += [(None, 0, 100)]       # NULL key
+    media = spark.createDataFrame(
+        rows, "doc_id bigint, offset int, cost int"
+    )
+    bins = cost_balanced_bins(media, 4, F.col("cost"))
+    assert dict(bins.dtypes)["doc_id"] == "bigint"
+    # one bin row per distinct key → the left join preserves row count
+    joined = (
+        media.join(bins, ["doc_id", "offset"], "left")
+        .withColumn("_rr", F.coalesce("_rr", F.lit(0)))
+    )
+    assert joined.count() == len(rows)
+    assert joined.filter(F.col("_rr").isNull()).count() == 0
+
+
 def test_cost_balanced_ocr_equals_round_robin(spark):
     """Placement is semantically free: the cost-weighted OCR stage
     (ocr_cost_col on an inline-bytes corpus, binary column → byte size)
@@ -315,3 +342,37 @@ def test_ledger_per_partition_metrics(spark, docs_df, tmp_path):
     assert parts.count() == m["n_partitions"] >= 1
     sidecar = json.load(open(f"{root}/metrics/_sidecars/run_pm1.json"))
     assert sidecar["docs"] == m["docs"]
+
+
+def test_ledger_migrates_legacy_metric_sidecars(spark, docs_df, tmp_path):
+    """ADVICE r3: roots written before the _sidecars layout carry
+    run_*.json directly under {root}/metrics/ — the next commit must
+    move them into _sidecars/ (keeping both files on a name collision)
+    so a parquet scan of the per-partition metrics tree works on old
+    roots without manual migration."""
+    import json
+    import os
+
+    from onnxocr_spark.pipeline import run_extract
+    from onnxocr_spark.sinks import write_with_ledger
+
+    root = str(tmp_path / "out")
+    out = run_extract(docs_df)
+    write_with_ledger(out, root, run_id="old")
+    # simulate the legacy layout: sidecars directly under metrics/
+    legacy = os.path.join(root, "metrics", "run_legacy.json")
+    json.dump({"run_id": "legacy", "docs": 1}, open(legacy, "w"))
+    clash = os.path.join(root, "metrics", "run_old.json")
+    json.dump({"run_id": "old", "docs": -1}, open(clash, "w"))
+
+    write_with_ledger(out, root, run_id="new")
+    side = os.path.join(root, "metrics", "_sidecars")
+    assert not os.path.exists(legacy) and not os.path.exists(clash)
+    assert os.path.exists(os.path.join(side, "run_legacy.json"))
+    # collision with the already-migrated-era run_old.json keeps both
+    assert os.path.exists(os.path.join(side, "run_old.json"))
+    assert os.path.exists(os.path.join(side, "run_old.json.legacy"))
+    assert json.load(open(os.path.join(side, "run_old.json")))["docs"] != -1
+    # the per-partition metrics tree now parquet-scans cleanly
+    pm = spark.read.parquet(os.path.join(root, "metrics"))
+    assert pm.select("run_id").distinct().count() == 2
