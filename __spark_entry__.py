@@ -25,7 +25,27 @@ TABLES = (
 ).split()
 
 
+# session → sf_dir whose views it currently holds. Registration reads
+# ten parquet footers driver-side (~1 s), and EVERY queries() entry
+# calls _register — unmemoized that was ~40% of the r3 battery's
+# per-query wall (driver r3 read dedup_minhash_sig at 3.9 s for a
+# 1.5 s query; VERDICT r3 item 4's "regression" was this overhead, not
+# the plan). Temp views live on the SparkSession, so re-registering is
+# only needed when the SAME session switches sf_dir (the value tracks
+# that). WeakKey: a stopped session's entry dies with it, and two
+# sessions sharing one context don't share temp views, so the key must
+# be the session object itself, not applicationId.
+import weakref
+
+_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def _register(spark: SparkSession, sf_dir: str) -> None:
+    sf = os.path.abspath(sf_dir)
+    if _REGISTERED.get(spark) == sf:
+        return
     # workload confs that matter inside any session the driver gives us
     # (runtime-settable SQL confs only; static ones live in build_session)
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
@@ -35,6 +55,7 @@ def _register(spark: SparkSession, sf_dir: str) -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     for t in TABLES:
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).createOrReplaceTempView(t)
+    _REGISTERED[spark] = sf
 
 
 def _derived_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

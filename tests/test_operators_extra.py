@@ -486,9 +486,9 @@ def test_adaptive_n_cells_derivation():
 
 def test_cosine_pairs_bucketed_default_is_adaptive(spark):
     """The shipped queries pass n_cells=None — pin that this resolves
-    to adaptive_n_cells(N) cells (sf0.001: N=100 → 16 floor-bound;
-    the derivation difference across SFs is covered by the oracle gate
-    at sf0.01=23 / sf0.1=45)."""
+    to adaptive_n_cells(N) cells (sf0.001: N=500 → 23; the derivation
+    difference across SFs is covered by the oracle gate at
+    sf0.01=23 / sf0.1=45)."""
     from onnxocr_spark.operators.similarity import (
         adaptive_n_cells, cosine_pairs_bucketed, seed_cells,
     )
@@ -539,19 +539,53 @@ def test_decontaminate_short_doc_guard(spark, tmp_path):
     df.write.parquet(path)
 
     spark.read.parquet(path).createOrReplaceTempView("documents")
-    got = {
-        (r.doc_id, r.n_hits)
-        for r in spark.sql(
-            em._DECONTAM_SPARK.format(
-                docs_src="SELECT doc_id, text FROM documents")
-        ).collect()
-    }
+    try:
+        got = {
+            (r.doc_id, r.n_hits)
+            for r in spark.sql(
+                em._DECONTAM_SPARK.format(
+                    docs_src="SELECT doc_id, text FROM documents")
+            ).collect()
+        }
+    finally:
+        # the session fixture is shared: drop the crafted overlay and
+        # invalidate the registration memo so later queries() calls
+        # re-register the real corpus views
+        spark.catalog.dropTempView("documents")
+        em._REGISTERED.pop(spark, None)
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
     )
     oracle = set(map(tuple, con.execute(em._DECONTAM_DUCK).fetchall()))
     assert got == oracle == {(102, 1)}
+
+
+def test_register_memoizes_per_session_and_sf(spark):
+    """_register reads ten parquet footers (~1 s driver-side) and every
+    queries() entry calls it, so it memoizes per (session, sf_dir):
+    a repeat call with the same sf is a no-op (it must NOT clobber the
+    session's current views), switching sf re-registers, and popping
+    the memo forces a reset (what view-overlaying tests must do)."""
+    import __spark_entry__ as em
+
+    em._REGISTERED.pop(spark, None)
+    em._register(spark, "/root/testdata/sf0.1")
+    n1 = spark.table("embeddings").count()   # 2000
+    em._register(spark, "/root/testdata/sf0.01")
+    n2 = spark.table("embeddings").count()   # 500
+    assert n2 != n1, "switching sf_dir must re-register the views"
+    try:
+        spark.createDataFrame(
+            [(1, [0.5])], "vec_id long, embedding array<double>"
+        ).createOrReplaceTempView("embeddings")
+        em._register(spark, "/root/testdata/sf0.01")  # memo hit: no reset
+        assert spark.table("embeddings").count() == 1
+        em._REGISTERED.pop(spark, None)
+        em._register(spark, "/root/testdata/sf0.01")  # forced reset
+        assert spark.table("embeddings").count() == n2
+    finally:
+        em._REGISTERED.pop(spark, None)
 
 
 def test_embedding_oracle_float_margins():
