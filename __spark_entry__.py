@@ -40,6 +40,10 @@ import weakref
 _REGISTERED: "weakref.WeakKeyDictionary[SparkSession, str]" = (
     weakref.WeakKeyDictionary()
 )
+# session → {(sf_dir, split confs, parallelism): scan split count}
+_SCAN_SPLITS: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _register(spark: SparkSession, sf_dir: str) -> None:
@@ -116,10 +120,24 @@ def _docs_src(spark: SparkSession, sf_dir: str) -> str:
     the RETURNED STRING from the calling session's current scan-split
     count and parallelism — valid only for that session/config. Don't
     cache the string across sessions; every queries() entry rebuilds it
-    per call, which is what keeps the decision fresh."""
+    per call, which is what keeps the decision fresh. The split-count
+    PROBE (an .rdd partition materialization, ~0.15 s) is memoized per
+    session keyed on everything that determines it — sf_dir plus the
+    file-split confs and parallelism — so the adaptivity survives conf
+    flips (test_shingle_fanout_hint_is_adaptive) while repeat battery
+    calls stop paying the probe."""
     path = os.path.join(sf_dir, "documents.parquet")
-    scan_parts = spark.read.parquet(path).rdd.getNumPartitions()
     par = spark.sparkContext.defaultParallelism
+    key = (
+        os.path.abspath(sf_dir),
+        spark.conf.get("spark.sql.files.maxPartitionBytes"),
+        spark.conf.get("spark.sql.files.openCostInBytes"),
+        par,
+    )
+    cache = _SCAN_SPLITS.setdefault(spark, {})
+    if key not in cache:
+        cache[key] = spark.read.parquet(path).rdd.getNumPartitions()
+    scan_parts = cache[key]
     if scan_parts >= par:
         return "SELECT doc_id, text FROM documents"
     return f"SELECT /*+ REPARTITION({2 * par}) */ doc_id, text FROM documents"
@@ -1294,6 +1312,62 @@ WHERE e.vec_id NOT IN (SELECT vec_id FROM retired)
 )
 
 
+# Context-window chunking (r4): training pipelines pack documents into
+# fixed token windows before tokenization/batching — 64-token chunks at
+# stride 48 (16-token overlap), one row per (doc, window) with the
+# chunk's token count and an md5 fingerprint standing in for the text
+# (narrow rows; the hash makes the driver's value comparison cover the
+# exact chunk CONTENT, not just counts). Starts are s = 48·i for every
+# i with s < n_tokens, so tail chunks shorten and a doc shorter than
+# one window still yields its single partial chunk — the same rule in
+# both engines (Spark slice(t, p, 64) ≡ DuckDB's inclusive-end
+# t[p : p+63]).
+_CHUNK_SPARK = """
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       CAST(size(slice(t, i*48+1, 64)) AS BIGINT) AS n_tok,
+       md5(concat_ws(' ', slice(t, i*48+1, 64))) AS chunk_hash
+FROM (SELECT doc_id, split(text, ' ') AS t FROM ({docs_src}))
+LATERAL VIEW explode(sequence(0, CAST(floor((size(t)-1)/48.0) AS INT))) x AS i
+"""
+_CHUNK_DUCK = """
+SELECT doc_id, i AS chunk_id,
+       CAST(len(t[CAST(i*48+1 AS INT) : CAST(i*48+64 AS INT)]) AS BIGINT)
+         AS n_tok,
+       md5(array_to_string(t[CAST(i*48+1 AS INT) : CAST(i*48+64 AS INT)], ' '))
+         AS chunk_hash
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+     LATERAL unnest(generate_series(0,
+         CAST(floor((len(t)-1)/48.0) AS BIGINT))) AS u(i)
+"""
+
+# Deterministic stratified sampling (r4): corpus mixing weights sources
+# differently — keep a doc when the first 8 md5 hex digits of its id
+# (an exact 32-bit dyadic rational after /2^32) fall under the source's
+# rate ((src# % 4 + 1)/4 → 0.25/0.5/0.75/1.0). Both sides of the
+# comparison are exactly representable doubles, so the strict < is
+# bit-identical across engines — no RNG, no seed state, re-runs and
+# retries agree (the same md5-threshold idiom as the dedup seeds).
+_STRATSAMPLE_SPARK = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN
+           CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)
+                AS BIGINT) / 4294967296.0
+           < (pmod(CAST(substring(source, 4) AS INT), 4) + 1) / 4.0
+         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents GROUP BY source
+"""
+_STRATSAMPLE_DUCK = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             / 4294967296.0
+           < ((CAST(substr(source, 4, 10) AS INT) % 4) + 1) / 4.0
+         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents GROUP BY source
+"""
+
 # top-k terms across the corpus (classic corpus-stats aggregation)
 _TOP_TERMS_SPARK = """
 SELECT tok, CAST(count(*) AS BIGINT) AS n
@@ -1910,10 +1984,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _sqlq(_TOKEN_COUNT_SPARK),
         "token_count_bpe": _sqlq(_TOKEN_BPE_SPARK),
         "top_terms": _sqlq(_TOP_TERMS_SPARK),
-        "quality_score_full": _sqlq(_QUALITY_FULL_SPARK),
-        "quality_repetition": _sqlq(_REPETITION_SPARK),
+        "chunk_documents": _sqlq_fanout(_CHUNK_SPARK),
+        "stratified_sample": _sqlq(_STRATSAMPLE_SPARK),
         # --- tail: outside the driver's 50-row window ---
         # long-stable (green driver rows in r1–r3, unchanged since)
+        "quality_score_full": _sqlq(_QUALITY_FULL_SPARK),
+        "quality_repetition": _sqlq(_REPETITION_SPARK),
         "q1_pricing_summary": _sqlq(_Q1),
         "q3_top_orders": _sqlq(_Q3),
         "doc_text_sink": q_doc_text_sink,
@@ -1975,6 +2051,8 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": _TOP_TERMS_DUCK,
         "quality_score_full": _QUALITY_FULL_DUCK,
         "quality_repetition": _REPETITION_DUCK,
+        "chunk_documents": _CHUNK_DUCK,
+        "stratified_sample": _STRATSAMPLE_DUCK,
         "html_main_content": _HTML_MAIN_DUCK,
         "doc_fingerprint": _FINGERPRINT,
         "doc_rolling_hash": _ROLLHASH_DUCK,
