@@ -602,6 +602,46 @@ FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
 """.format(minhash=_MINHASH_DUCK.strip())
 
+# Online (greedy) near-dup keeper rule (r4): a document survives iff it
+# is the FIRST (min doc_id) to emit EVERY one of its 4 LSH band
+# signatures — the arrival-order-greedy policy an online/streaming
+# dedup applies, where a doc is dropped the moment any band was already
+# seen, kept-or-dropped emitter alike. Cheaper than the CC closure (no
+# iteration: one window over (band, band_sig) + one groupBy) and the
+# batch twin of streaming/extract.streaming_near_dedup — the
+# streaming≡batch pytest pins the two against each other. More
+# aggressive than CC keepers by design (a band chain A~B~C keeps only
+# A; CC also keeps only A but via the closure — the policies differ on
+# which non-keepers exist, not on determinism).
+_ONLINE_BAND_SPARK = """
+WITH sig AS ({core}),
+bands AS (
+  SELECT doc_id, band,
+         concat_ws('|', transform(slice(mh, band * 4 + 1, 4),
+                                  x -> CAST(x AS STRING))) AS band_sig
+  FROM sig LATERAL VIEW explode(sequence(0, 3)) x AS band
+)
+SELECT doc_id FROM (
+  SELECT doc_id,
+         MIN(doc_id) OVER (PARTITION BY band, band_sig) AS first_doc
+  FROM bands
+) GROUP BY doc_id HAVING bool_and(doc_id = first_doc)
+""".format(core=_MINHASH_CORE_SPARK)
+_ONLINE_BAND_DUCK = """
+WITH sig AS ({minhash})
+, bands AS (
+  SELECT doc_id, CAST(FLOOR(seed / 4.0) AS BIGINT) AS band,
+         string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS band_sig
+  FROM sig GROUP BY doc_id, CAST(FLOOR(seed / 4.0) AS BIGINT)
+)
+SELECT doc_id FROM (
+  SELECT doc_id,
+         MIN(doc_id) OVER (PARTITION BY band, band_sig) AS first_doc
+  FROM bands
+) GROUP BY doc_id HAVING bool_and(doc_id = first_doc)
+""".format(minhash=_MINHASH_DUCK.strip())
+
+
 def q_dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → clusters → keeper: connected components over the banded
     MinHash-LSH pairs by iterative min-label propagation (the step that
@@ -1949,7 +1989,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reading_order_topk": _sqlq(_READING_ORDER_SPARK),
         "resume_anti_join": _sqlq(_ANTI_JOIN_SPARK),
         "boxes_texts_zip": _sqlq(_ZIP_JOIN),
-        "mean_confidence": _sqlq(_MEAN_CONF),
         "max_candidates_limit": _sqlq(_MAX_CAND),
         "batch_max_ratio": _sqlq(_BATCH_MAX),
         "tumbling_window_daily": _sqlq(_TUMBLING_SPARK),
@@ -1957,6 +1996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _sqlq(_DEDUP_EXACT_SPARK),
         "dedup_minhash_sig": _sqlq_fanout(_MINHASH_SPARK),
         "dedup_minhash_lsh_pairs": _sqlq_fanout(_LSH_SPARK),
+        "dedup_online_band_keepers": _sqlq_fanout(_ONLINE_BAND_SPARK),
         "dedup_cluster_keepers": q_dedup_cluster_keepers,
         "dedup_cleaned_corpus": q_dedup_cleaned_corpus,
         "dedup_simhash": _sqlq_fanout(_SIMHASH_SPARK),
@@ -1988,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _sqlq(_STRATSAMPLE_SPARK),
         # --- tail: outside the driver's 50-row window ---
         # long-stable (green driver rows in r1–r3, unchanged since)
+        "mean_confidence": _sqlq(_MEAN_CONF),
         "quality_score_full": _sqlq(_QUALITY_FULL_SPARK),
         "quality_repetition": _sqlq(_REPETITION_SPARK),
         "q1_pricing_summary": _sqlq(_Q1),
@@ -2030,6 +2071,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_DUCK,
         "dedup_minhash_sig": _MINHASH_DUCK,
         "dedup_minhash_lsh_pairs": _LSH_DUCK,
+        "dedup_online_band_keepers": _ONLINE_BAND_DUCK,
         "dedup_cluster_keepers": _KEEPERS_DUCK,
         "dedup_cleaned_corpus": _CLEANED_DUCK,
         "dedup_simhash": _SIMHASH_DUCK,

@@ -112,6 +112,120 @@ def streaming_exact_dedup(stream_docs: DataFrame) -> DataFrame:
     )
 
 
+NEAR_DEDUP_OUT_SCHEMA = "band_key string, doc_id long, is_first boolean"
+NEAR_DEDUP_STATE_SCHEMA = "n long"
+
+# Per-row (no streaming aggregation — chaining one before the stateful
+# operator is disallowed) minhash over the doc's own token shingles,
+# bit-identical to the batch _MINHASH_CORE_SPARK expressions: the same
+# md5→conv base hash and the same 16 Carter-Wegman (a, b) pairs.
+_CW_PAIRS = [
+    (921440328, 1784546027), (37701240, 354508152),
+    (449796578, 306530153), (492247049, 349390190),
+    (1743316459, 1077260002), (1166774449, 1452085244),
+    (1661019430, 410452542), (911295768, 1645529458),
+    (1647127509, 818920737), (1419034827, 691191258),
+    (1646992099, 1648527430), (2024284797, 1729037751),
+    (1806657237, 1159790259), (1066479870, 1618275302),
+    (1646561307, 1467039869), (1967357840, 1377743954),
+]
+
+
+def _row_band_sigs() -> "F.Column":
+    """array of 4 band signatures for one document row, equal to the
+    batch bands CTE (band b = minhashes 4b..4b+3 joined by '|').
+    Higher-order-function fold — interpreted, not codegen'd, which the
+    batch path deliberately avoids (CLAUDE.md); acceptable here because
+    micro-batches are small and the stateful groupBy needs per-row
+    values, not a corpus aggregation."""
+    toks = F.split("text", " ")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2)
+        ),
+    )
+    hb = F.transform(
+        shingles,
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+            F.lit(2147483647),
+        ),
+    )
+    mins = [
+        F.array_min(
+            F.transform(hb, lambda h: F.pmod(h * F.lit(a) + F.lit(b),
+                                             F.lit(2147483647)))
+        ).cast("string")
+        for a, b in _CW_PAIRS
+    ]
+    return F.array(*[
+        F.concat_ws("|", *mins[4 * band: 4 * band + 4])
+        for band in range(4)
+    ])
+
+
+def streaming_near_dedup(stream_docs: DataFrame) -> DataFrame:
+    """Custom stateful operator: cross-batch ONLINE near-dup over the
+    streaming documents table — the streaming twin of the batch
+    `dedup_online_band_keepers` query (greedy LSH-band policy: a doc
+    survives iff it is the first to emit EVERY one of its 4 band
+    signatures; any previously-seen band, kept-or-dropped emitter
+    alike, retires it).
+
+    Emits one row per (band, doc): (band_key, doc_id, is_first) —
+    is_first marks that this doc was the first emitter of that band
+    signature across ALL micro-batches so far. A doc is a keeper iff
+    all 4 of its rows have is_first (the consumer's 4-row groupBy;
+    pytest pins streaming keepers ≡ the batch query on identical
+    input). Docs under the 3-token shingle width emit no bands, exactly
+    like the batch WHERE size(t) >= 3 guard.
+
+    Equivalence contract (same as streaming_exact_dedup): batch keepers
+    resolve first-ness by GLOBAL ascending doc_id, so micro-batches
+    must arrive in doc_id order for the two to agree; within one
+    micro-batch the operator sorts the group globally before marking.
+
+    At 10^12 docs: state is one counter per distinct (band, signature)
+    — the same keyspace the batch groupBy shuffles, amortized
+    incrementally; each doc contributes 4 narrow rows to the exchange.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    bands = (
+        stream_docs
+        .filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", F.posexplode(_row_band_sigs()).alias("band", "sig"))
+        .select(
+            F.concat_ws("#", F.col("band").cast("string"), "sig").alias(
+                "band_key"
+            ),
+            "doc_id",
+        )
+    )
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        (seen,) = state.get if state.exists else (0,)
+        ids = sorted(int(d) for pdf in pdfs for d in pdf["doc_id"])
+        rows = []
+        for did in ids:
+            rows.append((key[0], did, seen == 0))
+            seen += 1
+        state.update((seen,))
+        yield pd.DataFrame(rows, columns=["band_key", "doc_id", "is_first"])
+
+    return bands.groupBy("band_key").applyInPandasWithState(
+        fn,
+        NEAR_DEDUP_OUT_SCHEMA,
+        NEAR_DEDUP_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_counts(
     spark: SparkSession,
     events_path: str,

@@ -886,6 +886,75 @@ def test_streaming_stateful_exact_dedup(spark, tmp_path):
     assert got == {0: True, 1: True, 2: False, 3: True, 4: False, 5: False}
 
 
+def test_streaming_near_dedup_matches_batch_online_policy(spark, tmp_path):
+    """Cross-batch ONLINE near-dup (applyInPandasWithState over LSH
+    band signatures) must agree exactly with the batch
+    `dedup_online_band_keepers` query on identical doc-id-ordered
+    input: keeper set == the batch HAVING bool_and(first) set, an
+    exact duplicate arriving in a later micro-batch is retired by
+    state, and a sub-shingle-width doc emits no band rows at all."""
+    import os as _os
+
+    import pandas as pd
+
+    import __spark_entry__ as em
+    from onnxocr_spark.streaming.extract import streaming_near_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    files = [
+        [(0, base),
+         (1, "totally different words compose this one stream here")],
+        [(2, base),                      # exact dup of 0, later batch
+         (3, base + " tailchange"),      # near-dup of 0
+         (4, "short un")],               # < 3 tokens → no shingles
+        [(5, "another unrelated document with its own tokens five six")],
+    ]
+    src = str(tmp_path / "neardocs")
+    _os.makedirs(src)
+    for i, rows in enumerate(files):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            f"{src}/part-{i}.parquet"
+        )
+        _os.utime(f"{src}/part-{i}.parquet", (1000 * (i + 1), 1000 * (i + 1)))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_near_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("neardedupstream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM neardedupstream").collect()
+
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.is_first)
+    assert all(len(v) == 4 for v in per_doc.values()), per_doc
+    stream_keepers = {d for d, v in per_doc.items() if all(v)}
+
+    all_rows = [r for f in files for r in f]
+    spark.createDataFrame(
+        all_rows, "doc_id long, text string"
+    ).createOrReplaceTempView("sdocs")
+    batch_keepers = {
+        r.doc_id
+        for r in spark.sql(em._ONLINE_BAND_SPARK.format(
+            docs_src="SELECT doc_id, text FROM sdocs")).collect()
+    }
+    assert stream_keepers == batch_keepers
+    assert 0 in batch_keepers and 2 not in batch_keepers  # state-retired dup
+    assert 2 in per_doc and not any(per_doc[2])  # all four bands seen before
+    assert 4 not in per_doc  # sub-shingle doc emits no bands
+
+
 def test_connected_component_keepers_transitive(spark):
     """A~B, B~C must put C under A's keeper even though (A,C) was never
     a pair (the property pair-based dedup misses without the component

@@ -56,8 +56,9 @@ def test_dedup_plans_have_no_blowup_shapes(spark):
     qs = em.queries()
 
     for name in ("dedup_minhash_sig", "dedup_minhash_lsh_pairs",
-                 "dedup_simhash", "ngram_jaccard_pairs",
-                 "dedup_embedding_cosine", "reading_order_topk"):
+                 "dedup_online_band_keepers", "dedup_simhash",
+                 "ngram_jaccard_pairs", "dedup_embedding_cosine",
+                 "reading_order_topk"):
         plan = _plan(qs[name](spark, sf))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoop" not in plan, name
