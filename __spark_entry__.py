@@ -511,40 +511,16 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 # derivation). At cluster scale the input splits provide the fan-out
 # and the hint vanishes — a literal REPARTITION(64) would force a
 # full-corpus text shuffle into 64 partitions (VERDICT r2 item 3).
-_MH_P = 2147483647
-_SHINGLES_SPARK = """
-    SELECT doc_id, explode(transform(sequence(1, size(t) - 2),
-               i -> concat_ws(' ', t[i-1], t[i], t[i+1]))) AS shingle
-    FROM (SELECT doc_id, split(text, ' ') AS t
-          FROM ({docs_src}))
-    WHERE size(t) >= 3
-"""
-_MINHASH_CORE_SPARK = """
-SELECT doc_id,
-       array({mins}) AS mh
-FROM (
-  SELECT doc_id,
-         pmod(CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT),
-              2147483647) AS hb
-  FROM ({shingles})
+# Canonical fragments live in operators/dedup.py (single source of
+# truth shared with jobs/dedup_job.py); the entry file keeps its local
+# names so the battery and oracle tables read unchanged.
+from onnxocr_spark.operators.dedup import (  # noqa: E402
+    LSH_PAIRS_SQL as _LSH_SPARK,
+    MINHASH_CORE_SQL as _MINHASH_CORE_SPARK,
+    ONLINE_BAND_KEEPERS_SQL as _ONLINE_BAND_SPARK,
+    SHINGLES_SQL as _SHINGLES_SPARK,
 )
-GROUP BY doc_id
-""".format(mins="""MIN(pmod(hb * 921440328 + 1784546027, 2147483647)),
-             MIN(pmod(hb * 37701240 + 354508152, 2147483647)),
-             MIN(pmod(hb * 449796578 + 306530153, 2147483647)),
-             MIN(pmod(hb * 492247049 + 349390190, 2147483647)),
-             MIN(pmod(hb * 1743316459 + 1077260002, 2147483647)),
-             MIN(pmod(hb * 1166774449 + 1452085244, 2147483647)),
-             MIN(pmod(hb * 1661019430 + 410452542, 2147483647)),
-             MIN(pmod(hb * 911295768 + 1645529458, 2147483647)),
-             MIN(pmod(hb * 1647127509 + 818920737, 2147483647)),
-             MIN(pmod(hb * 1419034827 + 691191258, 2147483647)),
-             MIN(pmod(hb * 1646992099 + 1648527430, 2147483647)),
-             MIN(pmod(hb * 2024284797 + 1729037751, 2147483647)),
-             MIN(pmod(hb * 1806657237 + 1159790259, 2147483647)),
-             MIN(pmod(hb * 1066479870 + 1618275302, 2147483647)),
-             MIN(pmod(hb * 1646561307 + 1467039869, 2147483647)),
-             MIN(pmod(hb * 1967357840 + 1377743954, 2147483647))""", shingles=_SHINGLES_SPARK)
+
 _MINHASH_SPARK = """
 SELECT doc_id, CAST(seed AS BIGINT) AS seed, minhash
 FROM ({core}) sig
@@ -577,19 +553,7 @@ GROUP BY h.doc_id, c.seed
 # matches. Spark derives band signatures narrowly from the per-doc
 # minhash array (slice preserves seed order) - the remaining shuffles
 # are the minhash partial-agg, the band equi-join, and the DISTINCT,
-# all bucketed.
-_LSH_SPARK = """
-WITH sig AS ({core}),
-bands AS (
-  SELECT doc_id, band,
-         concat_ws('|', transform(slice(mh, band * 4 + 1, 4),
-                                  x -> CAST(x AS STRING))) AS band_sig
-  FROM sig LATERAL VIEW explode(sequence(0, 3)) x AS band
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-""".format(core=_MINHASH_CORE_SPARK)
+# all bucketed. (_LSH_SPARK imported from operators/dedup.py above.)
 _LSH_DUCK = """
 WITH sig AS ({minhash})
 , bands AS (
@@ -613,20 +577,7 @@ FROM bands a JOIN bands b
 # aggressive than CC keepers by design (a band chain A~B~C keeps only
 # A; CC also keeps only A but via the closure — the policies differ on
 # which non-keepers exist, not on determinism).
-_ONLINE_BAND_SPARK = """
-WITH sig AS ({core}),
-bands AS (
-  SELECT doc_id, band,
-         concat_ws('|', transform(slice(mh, band * 4 + 1, 4),
-                                  x -> CAST(x AS STRING))) AS band_sig
-  FROM sig LATERAL VIEW explode(sequence(0, 3)) x AS band
-)
-SELECT doc_id FROM (
-  SELECT doc_id,
-         MIN(doc_id) OVER (PARTITION BY band, band_sig) AS first_doc
-  FROM bands
-) GROUP BY doc_id HAVING bool_and(doc_id = first_doc)
-""".format(core=_MINHASH_CORE_SPARK)
+# (_ONLINE_BAND_SPARK imported from operators/dedup.py above.)
 _ONLINE_BAND_DUCK = """
 WITH sig AS ({minhash})
 , bands AS (

@@ -1,0 +1,157 @@
+"""spark-submit entry point for the corpus-dedup pipeline.
+
+    spark-submit --master <cluster> \\
+        --py-files onnxocr_spark.zip \\
+        jobs/dedup_job.py \\
+        --input  <documents parquet path (doc_id, text, ...)> \\
+        --output <output root> \\
+        [--policy cc|online|exact] [--run-id r42]
+
+Reads the flat documents table and writes the CLEANED corpus (keepers
+only) plus a retired-docs manifest under the same run-dir layout the
+extraction job uses ({root}/data/run=<id>, {root}/ledger/run=<id>,
+metrics sidecar) so downstream consumers read both jobs' outputs the
+same way. Policies:
+
+- ``cc``     (default): MinHash-LSH banded pairs closed by connected
+  components — one keeper per near-duplicate CLUSTER (A~B, B~C retires
+  C). The thorough offline policy.
+- ``online``: greedy LSH-band keepers — survive iff first to emit
+  every band signature. No iteration; the policy the streaming twin
+  (streaming_near_dedup) applies incrementally.
+- ``exact``:  md5-prefix fingerprint groups, min doc_id kept.
+
+Unlike extraction, dedup is a WHOLE-CORPUS decision — keepers depend on
+every document — so there is no per-doc resume; each run re-decides on
+its full input and commits under its own run_id (idempotent per run_id,
+same overwrite contract as the extract job). At 10^12 docs the heavy
+lifting is the same plans the query battery pins: narrow shingle
+fan-out, map-side-combined minhash groupBy, banded equi-join / window,
+O(log diameter) pointer-jumping CC.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def cleaned_corpus(docs, policy: str):
+    """(keepers DataFrame, retired DataFrame) for the chosen policy.
+    The near-dup policies run the CANONICAL battery SQL
+    (operators/dedup.py fragments — explode + codegen'd hashing +
+    map-side-combined groupBy, the plan shapes the query battery pins),
+    not the streaming operator's interpreted per-row fold, which exists
+    only because a streaming aggregation cannot precede the stateful
+    operator."""
+    from pyspark.sql import functions as F
+
+    from onnxocr_spark.operators.dedup import (
+        LSH_PAIRS_SQL,
+        ONLINE_BAND_KEEPERS_SQL,
+        connected_component_keepers,
+    )
+
+    spark = docs.sparkSession
+    docs = docs.persist()
+    if policy == "exact":
+        fp = docs.select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.split("text", " "), 1, 4))
+            ).alias("fp"),
+        )
+        keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select(
+            "doc_id"
+        )
+        return docs.join(keep, "doc_id"), docs.join(keep, "doc_id", "left_anti")
+
+    docs.createOrReplaceTempView("dedup_input")
+    src = "SELECT doc_id, text FROM dedup_input"
+
+    if policy == "online":
+        keep = spark.sql(ONLINE_BAND_KEEPERS_SQL.format(docs_src=src))
+        # sub-shingle docs emit no bands and are trivially kept (the
+        # battery query's output simply omits them; a JOB must not
+        # retire them by omission)
+        no_bands = docs.filter(
+            F.size(F.split("text", " ")) < 3
+        ).select("doc_id")
+        keep = keep.unionByName(no_bands)
+        return docs.join(keep, "doc_id"), docs.join(keep, "doc_id", "left_anti")
+
+    # policy == "cc": LSH pairs -> connected components -> keepers
+    pairs = spark.sql(LSH_PAIRS_SQL.format(docs_src=src))
+    labels = connected_component_keepers(pairs)
+    retired_ids = labels.filter(F.col("doc_id") != F.col("keeper")).select(
+        "doc_id"
+    )
+    return (
+        docs.join(retired_ids, "doc_id", "left_anti"),
+        docs.join(retired_ids, "doc_id"),
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--policy", choices=["cc", "online", "exact"], default="cc")
+    p.add_argument("--run-id", default=None)
+    args = p.parse_args(argv)
+
+    import os
+
+    from pyspark.sql import SparkSession, functions as F
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = (
+        SparkSession.builder.appName("onnxocr-dedup")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    run_id = args.run_id or time.strftime("%Y%m%d_%H%M%S")
+    docs = spark.read.parquet(args.input)
+    kept, retired = cleaned_corpus(docs, args.policy)
+
+    data_dir = os.path.join(args.output, "data", f"run={run_id}")
+    kept.write.mode("overwrite").parquet(data_dir)
+    ledger_dir = os.path.join(args.output, "ledger", f"run={run_id}")
+    (
+        spark.read.parquet(data_dir)
+        .select("doc_id")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(ledger_dir)
+    )
+    retired_dir = os.path.join(args.output, "retired", f"run={run_id}")
+    retired.select("doc_id").write.mode("overwrite").parquet(retired_dir)
+
+    n_in = docs.count()
+    n_kept = spark.read.parquet(data_dir).count()
+    n_retired = spark.read.parquet(retired_dir).count()
+    import json
+
+    side_dir = os.path.join(args.output, "metrics", "_sidecars")
+    os.makedirs(side_dir, exist_ok=True)
+    metrics = {
+        "run_id": run_id,
+        "policy": args.policy,
+        "source_path": args.input,
+        "docs_in": n_in,
+        "docs_kept": n_kept,
+        "docs_retired": n_retired,
+        "wall_clock_unix": time.time(),
+    }
+    with open(os.path.join(side_dir, f"run_{run_id}.json"), "w") as f:
+        json.dump(metrics, f)
+    print(f"committed dedup run {run_id}: {metrics}")
+    assert n_kept + n_retired == n_in
+    if owns_session:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -130,3 +130,80 @@ def connected_component_keepers(
 
     edges.unpersist()
     return labels.select(F.col("v").alias("doc_id"), F.col("l").alias("keeper"))
+
+
+# ---------------------------------------------------------------------------
+# Canonical Spark-SQL fragments for the text near-dup pipeline — the ONE
+# definition both the driver contract (__spark_entry__) and the
+# spark-submit dedup job build from. Every template leaves {docs_src}
+# open: callers substitute a `SELECT doc_id, text FROM …` subquery
+# (adaptively fan-out-hinted in the battery, a plain temp view in the
+# job). Shapes are the plan-pinned ones: shingles via one explode of a
+# per-row transform, base hash one md5 per shingle, 16 Carter-Wegman
+# MINs in a single map-side-combined groupBy (shuffle ~1 row/doc),
+# bands as array slices of the signature vector.
+
+SHINGLES_SQL = """
+    SELECT doc_id, explode(transform(sequence(1, size(t) - 2),
+               i -> concat_ws(' ', t[i-1], t[i], t[i+1]))) AS shingle
+    FROM (SELECT doc_id, split(text, ' ') AS t
+          FROM ({docs_src}))
+    WHERE size(t) >= 3
+"""
+
+_CW_MINS = """MIN(pmod(hb * 921440328 + 1784546027, 2147483647)),
+             MIN(pmod(hb * 37701240 + 354508152, 2147483647)),
+             MIN(pmod(hb * 449796578 + 306530153, 2147483647)),
+             MIN(pmod(hb * 492247049 + 349390190, 2147483647)),
+             MIN(pmod(hb * 1743316459 + 1077260002, 2147483647)),
+             MIN(pmod(hb * 1166774449 + 1452085244, 2147483647)),
+             MIN(pmod(hb * 1661019430 + 410452542, 2147483647)),
+             MIN(pmod(hb * 911295768 + 1645529458, 2147483647)),
+             MIN(pmod(hb * 1647127509 + 818920737, 2147483647)),
+             MIN(pmod(hb * 1419034827 + 691191258, 2147483647)),
+             MIN(pmod(hb * 1646992099 + 1648527430, 2147483647)),
+             MIN(pmod(hb * 2024284797 + 1729037751, 2147483647)),
+             MIN(pmod(hb * 1806657237 + 1159790259, 2147483647)),
+             MIN(pmod(hb * 1066479870 + 1618275302, 2147483647)),
+             MIN(pmod(hb * 1646561307 + 1467039869, 2147483647)),
+             MIN(pmod(hb * 1967357840 + 1377743954, 2147483647))"""
+
+MINHASH_CORE_SQL = """
+SELECT doc_id,
+       array({mins}) AS mh
+FROM (
+  SELECT doc_id,
+         pmod(CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT),
+              2147483647) AS hb
+  FROM ({shingles})
+)
+GROUP BY doc_id
+""".format(mins=_CW_MINS, shingles=SHINGLES_SQL)
+
+LSH_PAIRS_SQL = """
+WITH sig AS ({core}),
+bands AS (
+  SELECT doc_id, band,
+         concat_ws('|', transform(slice(mh, band * 4 + 1, 4),
+                                  x -> CAST(x AS STRING))) AS band_sig
+  FROM sig LATERAL VIEW explode(sequence(0, 3)) x AS band
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+""".format(core=MINHASH_CORE_SQL)
+
+ONLINE_BAND_KEEPERS_SQL = """
+WITH sig AS ({core}),
+bands AS (
+  SELECT doc_id, band,
+         concat_ws('|', transform(slice(mh, band * 4 + 1, 4),
+                                  x -> CAST(x AS STRING))) AS band_sig
+  FROM sig LATERAL VIEW explode(sequence(0, 3)) x AS band
+)
+SELECT doc_id FROM (
+  SELECT doc_id,
+         MIN(doc_id) OVER (PARTITION BY band, band_sig) AS first_doc
+  FROM bands
+) GROUP BY doc_id HAVING bool_and(doc_id = first_doc)
+""".format(core=MINHASH_CORE_SQL)

@@ -175,6 +175,66 @@ def test_extract_job_cli_in_process(spark, docs_df, tmp_path):
     assert rc == 0
 
 
+def test_dedup_job_policies(spark, tmp_path):
+    """jobs/dedup_job.main across its three policies on crafted docs
+    with an exact dup, a near-dup, a sub-shingle doc, and uniques:
+    every policy partitions the corpus exactly (kept + retired = in),
+    `exact` retires only the verbatim duplicate, `online` additionally
+    agrees with the battery's dedup_online_band_keepers rule (plus
+    trivially keeping the sub-shingle doc), and `cc` retires every
+    non-keeper of the pair closure. Run-dir layout matches the
+    extraction job (data/ledger/metrics sidecar)."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import dedup_job
+
+    import __spark_entry__ as em
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base),
+        (1, "totally different words compose this one stream here"),
+        (2, base),                      # exact dup of 0
+        (3, base + " tailchange"),      # near-dup of 0
+        (4, "short un"),                # < 3 tokens
+        (5, "another unrelated document with its own tokens five six"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "docs")
+    df.write.parquet(src)
+
+    results = {}
+    for policy in ("exact", "online", "cc"):
+        root = str(tmp_path / f"out_{policy}")
+        rc = dedup_job.main(["--input", src, "--output", root,
+                             "--policy", policy, "--run-id", "t1"])
+        assert rc == 0
+        kept = {r.doc_id for r in spark.read.parquet(
+            f"{root}/data/run=t1").collect()}
+        retired = {r.doc_id for r in spark.read.parquet(
+            f"{root}/retired/run=t1").collect()}
+        assert kept | retired == {0, 1, 2, 3, 4, 5}
+        assert not (kept & retired)
+        side = json.load(open(f"{root}/metrics/_sidecars/run_t1.json"))
+        assert side["docs_kept"] == len(kept)
+        results[policy] = kept
+
+    # `exact` fingerprints the FIRST-4-TOKEN prefix (the battery's
+    # dedup_exact rule), so the tail-changed doc 3 shares doc 0's
+    # fingerprint and goes too
+    assert results["exact"] == {0, 1, 4, 5}
+    # online ≡ battery rule ∪ sub-shingle docs
+    df.createOrReplaceTempView("jdocs")
+    battery = {r.doc_id for r in spark.sql(em._ONLINE_BAND_SPARK.format(
+        docs_src="SELECT doc_id, text FROM jdocs")).collect()}
+    assert results["online"] == battery | {4}
+    # cc retires at least the exact dup and keeps all uniques
+    assert 2 not in results["cc"]
+    assert {1, 4, 5} <= results["cc"]
+
+
 def test_extreme_skew_single_doc_many_media(spark):
     """One document carrying 40 media spans (pathological skew): the
     round-robin balance must spread it and reassembly must restore the
