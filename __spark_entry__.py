@@ -1359,6 +1359,41 @@ SELECT source,
 FROM documents GROUP BY source
 """
 
+# Token-rarity stats (r4): the integer-exact core of a corpus-LM
+# quality filter (CCNet-style) — per doc, the corpus frequency of its
+# rarest token and the frequency mass of all its tokens. The float LM
+# step (avg -log p) is deliberately NOT emitted: averages of logs are
+# reassociation-sensitive across engines (the float rules), while
+# these BIGINT aggregates are exact and order-free; a consumer derives
+# any score monotone in them. Two shuffles + one vocabulary join
+# (frequency side is vocabulary-sized ≪ corpus; AQE broadcasts it when
+# small enough).
+_RARITY_SPARK = """
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, explode(split(text, ' ')) AS tok FROM ({docs_src}))
+),
+freq AS (SELECT tok, count(*) AS cf FROM toks GROUP BY tok)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(min(f.cf) AS BIGINT) AS min_cf,
+       CAST(sum(f.cf) AS BIGINT) AS sum_cf
+FROM toks t JOIN freq f ON t.tok = f.tok
+GROUP BY t.doc_id
+"""
+_RARITY_DUCK = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+freq AS (SELECT tok, count(*) AS cf FROM toks GROUP BY tok)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(min(f.cf) AS BIGINT) AS min_cf,
+       CAST(sum(f.cf) AS BIGINT) AS sum_cf
+FROM toks t JOIN freq f ON t.tok = f.tok
+GROUP BY t.doc_id
+"""
+
 # top-k terms across the corpus (classic corpus-stats aggregation)
 _TOP_TERMS_SPARK = """
 SELECT tok, CAST(count(*) AS BIGINT) AS n
@@ -1722,6 +1757,78 @@ FROM feats
 """
 
 
+def q_multimodal_audio_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-level Haar band energies (r4): every output is an exact BIGINT
+    (integer-scaled filter bank over the dyadic stub wave — see
+    multimodal.audio_haar_features), so the oracle needs no float rule
+    at all: DuckDB re-derives the integer samples from sha256 SQL and
+    sums squared integers."""
+    from onnxocr_spark.operators.multimodal import audio_haar_features
+
+    feats = audio_haar_features(_synthetic_media(spark, sf_dir))
+    return feats.filter("ok").select(
+        "media_id",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("approx_energy").cast("bigint").alias("approx_energy"),
+        F.col("detail_energy").cast("bigint").alias("detail_energy"),
+        F.col("approx2_energy").cast("bigint").alias("approx2_energy"),
+        F.col("detail2_energy").cast("bigint").alias("detail2_energy"),
+    )
+
+
+_AUDIO_HAAR_DUCK = """
+WITH au AS (
+  SELECT doc_id, sha256('audio-' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents WHERE doc_id < 60 AND doc_id % 3 = 1
+),
+dims AS (
+  SELECT doc_id, hx, 8000 + ('0x' || substr(hx, 1, 4))::INT % 8000 AS n
+  FROM au
+),
+samp AS (
+  SELECT doc_id, n, hx, unnest(range(n)) AS t FROM dims
+),
+ints AS (
+  SELECT doc_id, t,
+         ('0x' || substr(hx, CAST(1 + 2 * (t % 32) AS INT), 2))::BIGINT - 128
+           AS q
+  FROM samp
+),
+p1 AS (
+  SELECT doc_id, CAST(FLOOR(t / 2) AS BIGINT) AS p,
+         SUM(q) AS s1,
+         SUM(CASE WHEN t % 2 = 0 THEN q ELSE -q END) AS d1,
+         COUNT(*) AS c
+  FROM ints GROUP BY doc_id, CAST(FLOOR(t / 2) AS BIGINT)
+),
+p1f AS (SELECT * FROM p1 WHERE c = 2),
+p2 AS (
+  SELECT doc_id, CAST(FLOOR(p / 2) AS BIGINT) AS pp,
+         SUM(s1) AS s2,
+         SUM(CASE WHEN p % 2 = 0 THEN s1 ELSE -s1 END) AS d2,
+         COUNT(*) AS c
+  FROM p1f GROUP BY doc_id, CAST(FLOOR(p / 2) AS BIGINT)
+),
+p2f AS (SELECT * FROM p2 WHERE c = 2),
+e1 AS (
+  SELECT doc_id, COUNT(*) AS n_pairs,
+         SUM(s1 * s1) AS ae, SUM(d1 * d1) AS de
+  FROM p1f GROUP BY doc_id
+),
+e2 AS (
+  SELECT doc_id, SUM(s2 * s2) AS ae2, SUM(d2 * d2) AS de2
+  FROM p2f GROUP BY doc_id
+)
+SELECT 'm' || CAST(e1.doc_id AS VARCHAR) AS media_id,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(ae AS BIGINT) AS approx_energy,
+       CAST(de AS BIGINT) AS detail_energy,
+       CAST(ae2 AS BIGINT) AS approx2_energy,
+       CAST(de2 AS BIGINT) AS detail2_energy
+FROM e1 JOIN e2 ON e1.doc_id = e2.doc_id
+"""
+
+
 def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-backed (VERDICT r2 item 6): the stub decode emits integer
     gradient frames (multimodal._fake_decode_video_frames), so frame
@@ -1941,8 +2048,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_anti_join": _sqlq(_ANTI_JOIN_SPARK),
         "boxes_texts_zip": _sqlq(_ZIP_JOIN),
         "max_candidates_limit": _sqlq(_MAX_CAND),
-        "batch_max_ratio": _sqlq(_BATCH_MAX),
-        "tumbling_window_daily": _sqlq(_TUMBLING_SPARK),
         # training-data pipeline ops
         "dedup_exact": _sqlq(_DEDUP_EXACT_SPARK),
         "dedup_minhash_sig": _sqlq_fanout(_MINHASH_SPARK),
@@ -1970,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_image_dims": q_multimodal_image_dims,
         "multimodal_audio_features": q_multimodal_audio_features,
+        "multimodal_audio_haar": q_multimodal_audio_haar,
         "multimodal_video_frames": q_multimodal_video_frames,
         "quality_score": _sqlq(_QUALITY_SPARK),
         "token_count": _sqlq(_TOKEN_COUNT_SPARK),
@@ -1977,8 +2083,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": _sqlq(_TOP_TERMS_SPARK),
         "chunk_documents": _sqlq_fanout(_CHUNK_SPARK),
         "stratified_sample": _sqlq(_STRATSAMPLE_SPARK),
+        "token_rarity_stats": _sqlq_fanout(_RARITY_SPARK),
         # --- tail: outside the driver's 50-row window ---
         # long-stable (green driver rows in r1–r3, unchanged since)
+        "tumbling_window_daily": _sqlq(_TUMBLING_SPARK),
+        "batch_max_ratio": _sqlq(_BATCH_MAX),
         "mean_confidence": _sqlq(_MEAN_CONF),
         "quality_score_full": _sqlq(_QUALITY_FULL_SPARK),
         "quality_repetition": _sqlq(_REPETITION_SPARK),
@@ -2037,6 +2146,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_dims": _IMAGE_DIMS_DUCK,
         "multimodal_image_features": _IMAGE_FEATURES_DUCK,
         "multimodal_audio_features": _AUDIO_FEATURES_DUCK,
+        "multimodal_audio_haar": _AUDIO_HAAR_DUCK,
         "multimodal_video_frames": _VIDEO_FRAMES_DUCK,
         "quality_score": _QUALITY_DUCK,
         "token_count": _TOKEN_COUNT_DUCK,
@@ -2046,6 +2156,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_repetition": _REPETITION_DUCK,
         "chunk_documents": _CHUNK_DUCK,
         "stratified_sample": _STRATSAMPLE_DUCK,
+        "token_rarity_stats": _RARITY_DUCK,
         "html_main_content": _HTML_MAIN_DUCK,
         "doc_fingerprint": _FINGERPRINT,
         "doc_rolling_hash": _ROLLHASH_DUCK,

@@ -142,6 +142,61 @@ def audio_features(media: DataFrame) -> DataFrame:
     ).mapInPandas(fn, AUDIO_FEATURES_SCHEMA)
 
 
+AUDIO_HAAR_SCHEMA = (
+    "media_id string, n_pairs long, approx_energy long, "
+    "detail_energy long, approx2_energy long, detail2_energy long, "
+    "ok boolean, err string"
+)
+
+
+def audio_haar_features(media: DataFrame) -> DataFrame:
+    """2-level Haar filter-bank band energies per audio item (decode
+    stubbed; the filter bank is real): level 1 pairs samples into
+    approximation a+b and detail a−b, level 2 re-pairs the level-1
+    approximations. Energies are emitted INTEGER-scaled — the stub wave
+    is k/128 (dyadic), so ×128 recovers exact int64 samples and every
+    band energy is an exact BIGINT sum of squared integers, order-free
+    across engines (no float anywhere in the output; the unnormalized
+    Haar transform differs from the orthonormal one by the constant
+    1/√2 per level, which a consumer applies to the RATIO of band
+    energies, where it cancels). Trailing unpaired samples are dropped
+    at each level, exactly as the SQL oracle's complete-pair filter
+    does."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    if r.bytes is None or len(r.bytes) == 0:
+                        rows.append((r.media_id, 0, 0, 0, 0, 0, False, "empty"))
+                        continue
+                    wave, _sr = _fake_decode_audio(r.bytes)
+                    q = np.rint(wave * 128.0).astype(np.int64)
+                    n2 = len(q) // 2 * 2
+                    a, b = q[0:n2:2], q[1:n2:2]
+                    s1, d1 = a + b, a - b
+                    n4 = len(s1) // 2 * 2
+                    a2, b2 = s1[0:n4:2], s1[1:n4:2]
+                    s2, d2 = a2 + b2, a2 - b2
+                    rows.append((
+                        r.media_id, n2 // 2,
+                        int((s1 * s1).sum()), int((d1 * d1).sum()),
+                        int((s2 * s2).sum()), int((d2 * d2).sum()),
+                        True, "",
+                    ))
+                except Exception as exc:  # noqa: BLE001
+                    rows.append((r.media_id, 0, 0, 0, 0, 0, False,
+                                 str(exc)[:200]))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_pairs", "approx_energy", "detail_energy",
+                "approx2_energy", "detail2_energy", "ok", "err"])
+
+    return media.filter(F.col("kind") == "audio").select(
+        "media_id", "bytes"
+    ).mapInPandas(fn, AUDIO_HAAR_SCHEMA)
+
+
 def _fake_decode_video_frames(data: bytes, every_ms: int) -> list[tuple[int, np.ndarray]]:
     """STUB — video codecs unavailable. Deterministic fake: per-frame
     32×32 INTEGER gradient (i·8 + j·s + o) mod 256 with (s, o) drawn
