@@ -77,6 +77,21 @@ def test_dedup_plans_have_no_blowup_shapes(spark):
     assert "TakeOrderedAndProject" in ro
 
 
+def test_chunking_is_explode_only(spark):
+    """chunk_documents must stay a narrow per-row derivation: no join,
+    no aggregate, and at most the adaptive fan-out repartition as an
+    exchange — chunk slices and md5 fingerprints are all per-row
+    expressions, so a shuffle anywhere else is a regression."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["chunk_documents"](
+        spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+    assert "Generate explode" in plan, plan
+
+
 def test_decontamination_broadcasts_eval_side(spark):
     """The eval-slice shingle set is broadcast-small by construction
     (2% of docs, distinct 8-gram strings); pin that the join actually
