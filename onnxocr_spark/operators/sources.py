@@ -143,6 +143,94 @@ def from_base64(df: DataFrame, col: str = "payload") -> DataFrame:
     return df.withColumn("media_bytes", F.unbase64(F.col(col)))
 
 
+def parse_multipart(body: bytes, content_type: str) -> list[tuple[str, bytes]]:
+    """RFC 2046 multipart/form-data body → [(filename, content)].
+
+    S4 analog of the reference service's upload endpoint
+    (app/routers/v2.py upload handlers): the service framework parses
+    the multipart stream before the engine sees bytes; here the parser
+    IS the operator, so a captured upload body (e.g. archived request
+    logs) is a first-class media source. Minimal and strict: boundary
+    from the Content-Type parameter, parts split on the dash-boundary
+    delimiter, per-part headers scanned for Content-Disposition
+    filename, payload runs to the next delimiter with the trailing
+    CRLF stripped. Parts without a filename (plain form fields) are
+    skipped. Malformed bodies raise ValueError — callers turn that
+    into ok=false rows, the bad-media contract."""
+    marker = "boundary="
+    idx = content_type.find(marker)
+    if idx < 0:
+        raise ValueError("multipart content-type without boundary")
+    boundary = content_type[idx + len(marker):].split(";")[0].strip().strip('"')
+    if not boundary:
+        raise ValueError("empty multipart boundary")
+    delim = b"--" + boundary.encode()
+    chunks = body.split(delim)
+    # chunks[0] is the preamble; the last chunk is the epilogue after
+    # the closing "--" delimiter
+    if len(chunks) < 2 or not chunks[-1].lstrip(b"\r\n ").startswith(b"--"):
+        raise ValueError("multipart body missing closing delimiter")
+    out: list[tuple[str, bytes]] = []
+    for part in chunks[1:-1]:
+        if not part.startswith(b"\r\n"):
+            part = part.lstrip(b"\r\n")
+        else:
+            part = part[2:]
+        head, sep, payload = part.partition(b"\r\n\r\n")
+        if not sep:
+            raise ValueError("multipart part without header terminator")
+        filename = None
+        for line in head.split(b"\r\n"):
+            low = line.lower()
+            if low.startswith(b"content-disposition") and b"filename=" in low:
+                raw = line[low.find(b"filename=") + len(b"filename="):]
+                filename = raw.split(b";")[0].strip().strip(b'"').decode(
+                    "utf-8", "replace"
+                )
+        if filename is None:
+            continue  # plain form field, not a file part
+        if payload.endswith(b"\r\n"):
+            payload = payload[:-2]
+        out.append((filename, payload))
+    return out
+
+
+def from_multipart(
+    df: DataFrame, body_col: str = "body", ctype_col: str = "content_type"
+) -> DataFrame:
+    """S4: rows of captured multipart upload bodies → one media row per
+    file part (media_ref = '<row media_ref>/<filename>', media_bytes).
+    Parsing runs in an Arrow-batched UDF (bytes never leave the
+    executor); a malformed body yields a single ok=false row with the
+    error instead of failing the job."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                base = getattr(r, "media_ref", "multipart")
+                try:
+                    parts = parse_multipart(
+                        bytes(getattr(r, body_col)), getattr(r, ctype_col)
+                    )
+                    for fname, content in parts:
+                        rows.append(
+                            (f"{base}/{fname}", bytearray(content), True, "")
+                        )
+                except Exception as exc:  # noqa: BLE001
+                    rows.append((base, bytearray(), False, str(exc)[:200]))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "media_bytes", "ok", "err"]
+            )
+
+    return df.mapInPandas(
+        fn, "media_ref string, media_bytes binary, ok boolean, err string"
+    )
+
+
 def ocr_binary_media(
     media: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
 ) -> DataFrame:

@@ -118,6 +118,51 @@ def test_base64_source(spark):
     assert out[0].text == expected_media_text("doc_000000000005", 2)
 
 
+def test_multipart_source(spark):
+    """S4: a captured multipart/form-data upload body parses into one
+    media row per file part, the parts OCR to their analytic expected
+    text, plain form fields are skipped, and malformed bodies become
+    ok=false rows instead of task failures."""
+    from onnxocr_spark.operators.sources import (
+        from_multipart, ocr_binary_media, parse_multipart,
+    )
+
+    imgs = {
+        f"page{i}.img1": encode_image(render_media(f"doc_{i:012d}", 1))
+        for i in range(2)
+    }
+    b = "XBOUNDX"
+    body = b""
+    body += f"--{b}\r\nContent-Disposition: form-data; name=\"lang\"\r\n\r\nen\r\n".encode()
+    for fname, data in imgs.items():
+        body += (
+            f"--{b}\r\nContent-Disposition: form-data; name=\"file\"; "
+            f"filename=\"{fname}\"\r\nContent-Type: application/octet-stream"
+            f"\r\n\r\n".encode() + data + b"\r\n"
+        )
+    body += f"--{b}--\r\n".encode()
+    ctype = f"multipart/form-data; boundary={b}"
+
+    parts = parse_multipart(body, ctype)
+    assert [p[0] for p in parts] == list(imgs)
+    assert all(p[1] == imgs[p[0]] for p in parts)
+
+    df = spark.createDataFrame(
+        [("upload1", bytearray(body), ctype),
+         ("broken", bytearray(b"not multipart at all"), ctype)],
+        "media_ref string, body binary, content_type string",
+    )
+    media = from_multipart(df)
+    rows = {r.media_ref: r for r in media.collect()}
+    assert rows["broken"].ok is False and rows["broken"].err
+    good = media.filter("ok")
+    out = {r.media_ref: r.text for r in ocr_binary_media(good).collect()}
+    for i in range(2):
+        assert out[f"upload1/page{i}.img1"] == expected_media_text(
+            f"doc_{i:012d}", 1
+        )
+
+
 def test_paged_media(spark):
     from onnxocr_spark.operators.sources import ocr_paged_media
 
@@ -559,6 +604,39 @@ def test_decontaminate_short_doc_guard(spark, tmp_path):
     )
     oracle = set(map(tuple, con.execute(em._DECONTAM_DUCK).fetchall()))
     assert got == oracle == {(102, 1)}
+
+
+def test_chunk_documents_rule_on_edge_lengths(spark):
+    """The chunking rule on crafted docs of every boundary length
+    (1 token, exactly one window, one-past, stride multiples ±1):
+    starts are 48·i for i ≤ floor((n−1)/48), every token is covered by
+    at least one chunk, tail chunks shorten, and the md5 fingerprint is
+    the hash of exactly the slice — verified against an independent
+    Python derivation."""
+    import hashlib
+
+    import __spark_entry__ as em
+
+    lengths = [1, 2, 47, 48, 49, 63, 64, 65, 96, 97, 112, 113, 160]
+    rows = [(n, " ".join(f"w{n}_{k}" for k in range(n))) for n in lengths]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .createOrReplaceTempView("chunkdocs")
+    got = {}
+    for r in spark.sql(em._CHUNK_SPARK.format(
+            docs_src="SELECT doc_id, text FROM chunkdocs")).collect():
+        got[(r.doc_id, r.chunk_id)] = (r.n_tok, r.chunk_hash)
+
+    for n, text in rows:
+        toks = text.split(" ")
+        n_chunks = (n - 1) // 48 + 1
+        covered = set()
+        for i in range(n_chunks):
+            chunk = toks[i * 48: i * 48 + 64]
+            covered.update(range(i * 48, i * 48 + len(chunk)))
+            exp_hash = hashlib.md5(" ".join(chunk).encode()).hexdigest()
+            assert got[(n, i)] == (len(chunk), exp_hash), (n, i)
+        assert covered == set(range(n)), f"coverage hole at n={n}"
+        assert (n, n_chunks) not in got, f"extra chunk at n={n}"
 
 
 def test_register_memoizes_per_session_and_sf(spark):

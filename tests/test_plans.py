@@ -106,6 +106,30 @@ def test_decontamination_broadcasts_eval_side(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_battery_wide_plan_hygiene(spark):
+    """EVERY queries() entry builds and contains no scale red flag:
+    no CartesianProduct anywhere, and no BroadcastNestedLoopJoin
+    except the one sanctioned site (embedding_cosine_topk's
+    broadcast-Q-bounded exact baseline: 10 query rows broadcast
+    against the table — cost Q·N by design, Q fixed). Catches a
+    regression in ANY query the per-query tests don't pin."""
+    import __spark_entry__ as em
+
+    sanctioned_bnlj = {"embedding_cosine_topk"}
+    sf = "/root/testdata/sf0.001"
+    bad = {}
+    for name, fn in em.queries().items():
+        plan = _plan(fn(spark, sf))
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("cartesian")
+        if "BroadcastNestedLoopJoin" in plan and name not in sanctioned_bnlj:
+            flags.append("bnlj")
+        if flags:
+            bad[name] = flags
+    assert not bad, bad
+
+
 def test_shingle_fanout_hint_is_adaptive(spark):
     """The shingle/token fan-out repartition must be conditional on the
     scan's split count (VERDICT r2 item 3): hinted when the local scan
