@@ -594,16 +594,23 @@ SELECT doc_id FROM (
 
 
 def q_dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairs → clusters → keeper: connected components over the banded
-    MinHash-LSH pairs by iterative min-label propagation (the step that
-    turns near-dup PAIRS into per-cluster survivors; A~B, B~C must
-    retire C even though (A,C) was never emitted). Iterative algorithm →
-    verified against a DuckDB recursive-CTE transitive closure."""
-    from onnxocr_spark.operators.dedup import connected_component_keepers
+    """Bands → clusters → keeper: connected components by iterative
+    min-label propagation (the step that turns near-dup candidates into
+    per-cluster survivors; A~B, B~C must retire C even though (A,C) was
+    never emitted). r4: the edge source is STAR edges (doc → its band's
+    min doc, dedup.STAR_EDGES_SQL) instead of the clique pair table —
+    identical transitive closure, but O(N·bands) edges instead of
+    O(Σk²) per shared band, which removes both the k² self-join and the
+    skew bomb a heavily-duplicated corpus puts in one band group. The
+    DuckDB oracle still closes the CLIQUE pairs recursively — a fully
+    independent derivation that must (and does) agree."""
+    from onnxocr_spark.operators.dedup import (
+        STAR_EDGES_SQL, connected_component_keepers,
+    )
 
     _register(spark, sf_dir)
-    pairs = spark.sql(_LSH_SPARK.format(docs_src=_docs_src(spark, sf_dir)))
-    return connected_component_keepers(pairs).select(
+    edges = spark.sql(STAR_EDGES_SQL.format(docs_src=_docs_src(spark, sf_dir)))
+    return connected_component_keepers(edges).select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("keeper").cast("bigint").alias("keeper"),
     )
@@ -628,11 +635,14 @@ def q_dedup_cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-keeper cluster member retired (left-anti join against the
     keeper table — the same anti-join shape the ledger resume uses).
     Returns survivors' ids + a fingerprint of their text so the hash
-    gate checks content survival, not just ids."""
-    from onnxocr_spark.operators.dedup import connected_component_keepers
+    gate checks content survival, not just ids. r4: star-edge source
+    (see q_dedup_cluster_keepers)."""
+    from onnxocr_spark.operators.dedup import (
+        STAR_EDGES_SQL, connected_component_keepers,
+    )
 
     _register(spark, sf_dir)
-    pairs = spark.sql(_LSH_SPARK.format(docs_src=_docs_src(spark, sf_dir)))
+    pairs = spark.sql(STAR_EDGES_SQL.format(docs_src=_docs_src(spark, sf_dir)))
     retired = connected_component_keepers(pairs).filter(
         F.col("doc_id") != F.col("keeper")
     ).select("doc_id")

@@ -13,9 +13,11 @@ extraction job uses ({root}/data/run=<id>, {root}/ledger/run=<id>,
 metrics sidecar) so downstream consumers read both jobs' outputs the
 same way. Policies:
 
-- ``cc``     (default): MinHash-LSH banded pairs closed by connected
-  components — one keeper per near-duplicate CLUSTER (A~B, B~C retires
-  C). The thorough offline policy.
+- ``cc``     (default): MinHash-LSH band STAR edges (doc → its band's
+  min doc — identical transitive closure to the clique pairs at
+  O(N·bands) edges) closed by connected components — one keeper per
+  near-duplicate CLUSTER (A~B, B~C retires C). The thorough offline
+  policy.
 - ``online``: greedy LSH-band keepers — survive iff first to emit
   every band signature. No iteration; the policy the streaming twin
   (streaming_near_dedup) applies incrementally.
@@ -48,8 +50,8 @@ def cleaned_corpus(docs, policy: str):
     from pyspark.sql import functions as F
 
     from onnxocr_spark.operators.dedup import (
-        LSH_PAIRS_SQL,
         ONLINE_BAND_KEEPERS_SQL,
+        STAR_EDGES_SQL,
         connected_component_keepers,
     )
 
@@ -81,8 +83,10 @@ def cleaned_corpus(docs, policy: str):
         keep = keep.unionByName(no_bands)
         return docs.join(keep, "doc_id"), docs.join(keep, "doc_id", "left_anti")
 
-    # policy == "cc": LSH pairs -> connected components -> keepers
-    pairs = spark.sql(LSH_PAIRS_SQL.format(docs_src=src))
+    # policy == "cc": star edges (doc -> band's min doc; identical
+    # closure to the clique pairs at O(N*bands) edges, no k^2 join)
+    # -> connected components -> keepers
+    pairs = spark.sql(STAR_EDGES_SQL.format(docs_src=src))
     labels = connected_component_keepers(pairs)
     retired_ids = labels.filter(F.col("doc_id") != F.col("keeper")).select(
         "doc_id"

@@ -193,6 +193,34 @@ FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
 """.format(core=MINHASH_CORE_SQL)
 
+# Star edges for connected components: every doc in a shared band
+# connects to the band's MIN doc (the hub) instead of to every other
+# member. The transitive closure is IDENTICAL to the clique pairs'
+# (within one band, all members reach each other through the hub;
+# across bands the union of stars has the same reachability as the
+# union of cliques), but the edge count is O(N·bands) instead of
+# O(Σ k² ) — on a corpus where one page is duplicated a million
+# times, the clique formulation materializes 5·10¹¹ pairs in ONE band
+# group (a skew bomb no AQE setting fixes; the pairs ARE quadratic),
+# the star formulation 10⁶ rows. Shape: the minhash groupBy, one
+# window over (band, band_sig), one DISTINCT — the k² self-join is
+# gone entirely. LSH_PAIRS_SQL remains the operator whose OUTPUT is
+# the pairs themselves; this is the edge source for closures.
+STAR_EDGES_SQL = """
+WITH sig AS ({core}),
+bands AS (
+  SELECT doc_id, band,
+         concat_ws('|', transform(slice(mh, band * 4 + 1, 4),
+                                  x -> CAST(x AS STRING))) AS band_sig
+  FROM sig LATERAL VIEW explode(sequence(0, 3)) x AS band
+)
+SELECT DISTINCT doc_id AS doc_a, hub AS doc_b FROM (
+  SELECT doc_id,
+         MIN(doc_id) OVER (PARTITION BY band, band_sig) AS hub
+  FROM bands
+) WHERE doc_id <> hub
+""".format(core=MINHASH_CORE_SQL)
+
 ONLINE_BAND_KEEPERS_SQL = """
 WITH sig AS ({core}),
 bands AS (

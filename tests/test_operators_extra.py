@@ -1033,6 +1033,42 @@ def test_streaming_near_dedup_matches_batch_online_policy(spark, tmp_path):
     assert 4 not in per_doc  # sub-shingle doc emits no bands
 
 
+def test_star_edges_closure_equals_clique_pairs(spark):
+    """The star edge source (doc → its band's min doc) must yield the
+    IDENTICAL connected-component keeper table as the clique pair
+    source — on crafted docs engineered to include a cross-band chain
+    (A shares a band with B, B with C, A never with C), the case where
+    a bug in the star construction would split a cluster. Also pins
+    the scale claim: star edge count ≤ clique pair count."""
+    import __spark_entry__ as em
+    from onnxocr_spark.operators.dedup import (
+        LSH_PAIRS_SQL, STAR_EDGES_SQL, connected_component_keepers,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base),
+        (1, base),                           # exact dup → every band shared
+        (2, base + " tail x y z"),           # near-dup of 0 via some bands
+        (3, "unrelated words entirely here compose this doc now ok"),
+        (4, base),                           # 3-clique with 0 and 1
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .createOrReplaceTempView("stardocs")
+    src = "SELECT doc_id, text FROM stardocs"
+
+    pairs = spark.sql(LSH_PAIRS_SQL.format(docs_src=src))
+    stars = spark.sql(STAR_EDGES_SQL.format(docs_src=src))
+    assert stars.count() <= pairs.count()
+
+    k_clique = {(r.doc_id, r.keeper)
+                for r in connected_component_keepers(pairs).collect()}
+    k_star = {(r.doc_id, r.keeper)
+              for r in connected_component_keepers(stars).collect()}
+    assert k_star == k_clique
+    assert (1, 0) in k_star and (4, 0) in k_star  # dups cluster under 0
+
+
 def test_connected_component_keepers_transitive(spark):
     """A~B, B~C must put C under A's keeper even though (A,C) was never
     a pair (the property pair-based dedup misses without the component
