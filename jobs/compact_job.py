@@ -1,0 +1,50 @@
+"""spark-submit entry point for output-root run compaction.
+
+    spark-submit --master <cluster> --py-files onnxocr_spark.zip \\
+        jobs/compact_job.py --root <output root> \\
+        [--runs r1,r2,...] [--compacted-id c42] [--target-partitions N]
+
+Collapses many committed extraction-run dirs into one consolidated run
+(sinks.ledger.compact_runs — the Iceberg snapshot-compaction analog):
+resume listings and output scans drop from O(#runs) paths to O(1) for
+the compacted history. Single-writer: do not race an extraction run on
+the same root. Crash-safety contract and step ordering are documented
+on compact_runs itself.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", required=True)
+    p.add_argument("--runs", default=None,
+                   help="comma-separated run ids (default: all committed)")
+    p.add_argument("--compacted-id", default=None)
+    p.add_argument("--target-partitions", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from onnxocr_spark.sinks.ledger import compact_runs
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = SparkSession.builder.appName("onnxocr-compact").getOrCreate()
+    metrics = compact_runs(
+        spark,
+        args.root,
+        run_ids=args.runs.split(",") if args.runs else None,
+        compacted_id=args.compacted_id,
+        target_partitions=args.target_partitions,
+    )
+    print(f"compacted: {metrics}")
+    if owns_session:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

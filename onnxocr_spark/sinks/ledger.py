@@ -145,6 +145,87 @@ def _migrate_legacy_sidecars(root: str, sidecar_dir: str) -> None:
         os.replace(src, dst)
 
 
+def compact_runs(
+    spark: SparkSession,
+    root: str,
+    run_ids: list[str] | None = None,
+    compacted_id: str | None = None,
+    target_partitions: int | None = None,
+) -> dict:
+    """Merge many committed run dirs into one consolidated run — the
+    Iceberg snapshot-compaction analog for the parquet layout. Without
+    it, a long-lived output root accretes one dir per commit and every
+    resume pays an O(#runs) listing plus a many-path scan; after
+    compaction both are O(1) for the compacted history while commits
+    stay O(run).
+
+    Crash-safe sequence — single writer (like any Iceberg commit,
+    compaction must not race an extraction run on the same root).
+    Every crash point leaves a state where no doc is readable twice
+    AND no ledger-committed doc is unreadable:
+      1. write consolidated data to ``data/_compact_tmp_<id>`` — the
+         underscore prefix is invisible to ``_run_dirs``/``read_output``
+         — and verify its row count equals the sources' total;
+      2. drop the SOURCE LEDGER dirs first: their data dirs then count
+         as committed via committed_doc_ids' orphan rule (data without
+         ledger) and stay readable — dropping data before ledgers would
+         open the reverse window, docs ledger-committed but gone, which
+         resume would silently skip;
+      3. move every source data dir into ``_trash/<id>/`` (one atomic
+         rename each — a crash mid-way hides SOME docs, now unledgered,
+         so the resume path legitimately re-extracts them);
+      4. rename the tmp dir to ``data/run=<id>`` (atomic publish; until
+         its ledger lands it is itself orphan-committed);
+      5. write the consolidated ledger.
+    ``_trash`` is never read; prune it out-of-band once the compaction
+    is trusted."""
+    import shutil
+
+    run_ids = sorted(run_ids if run_ids is not None
+                     else {d[len("run="):] for d in _run_dirs(_data_path(root))})
+    if not run_ids:
+        raise ValueError(f"no committed runs to compact under {root}")
+    compacted_id = compacted_id or f"compact_{run_ids[0]}_{run_ids[-1]}"
+    src_dirs = [os.path.join(_data_path(root), f"run={r}") for r in run_ids]
+
+    tmp_dir = os.path.join(_data_path(root), f"_compact_tmp_{compacted_id}")
+    src = spark.read.parquet(*src_dirs)
+    n_src = src.count()
+    if target_partitions:
+        src = src.coalesce(target_partitions)
+    src.write.mode("overwrite").parquet(tmp_dir)
+    n_new = spark.read.parquet(tmp_dir).count()
+    if n_new != n_src:
+        raise RuntimeError(
+            f"compaction row mismatch: {n_src} in sources, {n_new} written"
+        )
+
+    for r in run_ids:
+        old = os.path.join(_ledger_path(root), f"run={r}")
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
+    trash = os.path.join(root, "_trash", compacted_id)
+    os.makedirs(trash, exist_ok=True)
+    for d in src_dirs:
+        os.replace(d, os.path.join(trash, os.path.basename(d)))
+
+    final_dir = os.path.join(_data_path(root), f"run={compacted_id}")
+    os.replace(tmp_dir, final_dir)
+
+    ledger_dir = os.path.join(_ledger_path(root), f"run={compacted_id}")
+    (
+        spark.read.parquet(final_dir)
+        .select("doc_id").distinct()
+        .write.mode("overwrite").parquet(ledger_dir)
+    )
+    return {
+        "compacted_id": compacted_id,
+        "source_runs": run_ids,
+        "docs": n_src,
+    }
+
+
 def read_output(spark: SparkSession, root: str) -> DataFrame:
     """All committed output rows across runs (only _SUCCESS-marked run
     dirs — a crashed run's partial files are never exposed)."""

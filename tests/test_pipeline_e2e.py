@@ -404,6 +404,63 @@ def test_ledger_per_partition_metrics(spark, docs_df, tmp_path):
     assert sidecar["docs"] == m["docs"]
 
 
+def test_compact_runs_merges_history_and_survives_crash_windows(
+    spark, docs_df, tmp_path
+):
+    """Run compaction (Iceberg snapshot-compaction analog): three
+    committed runs collapse into one dir with identical output rows and
+    identical committed ids; afterwards resume is still a clean no-op.
+    The two crash windows are probed by reproducing their on-disk
+    states directly: (a) source ledgers dropped but data dirs not yet
+    moved → docs stay committed via the orphan rule; (b) a data dir
+    moved to trash (unledgered) → its docs become pending again —
+    re-extractable, never duplicated."""
+    import shutil
+
+    from onnxocr_spark.pipeline import run_extract
+    from onnxocr_spark.sinks import (
+        compact_runs, committed_doc_ids, pending_documents, write_with_ledger,
+    )
+    from onnxocr_spark.sinks.ledger import read_output
+
+    root = str(tmp_path / "out")
+    thirds = [docs_df.filter(f"doc_id like '%{i}'") for i in ("1", "2")]
+    thirds.append(docs_df.join(
+        thirds[0].select("doc_id").union(thirds[1].select("doc_id")),
+        "doc_id", "left_anti"))
+    for i, part in enumerate(thirds):
+        write_with_ledger(run_extract(part), root, run_id=f"r{i}")
+
+    def outkey(df):
+        return sorted((r.doc_id, len(r.spans)) for r in df.collect())
+
+    before = outkey(read_output(spark, root))
+    ids_before = sorted(r.doc_id
+                        for r in committed_doc_ids(spark, root).collect())
+
+    m = compact_runs(spark, root, compacted_id="c1")
+    assert m["docs"] == N_DOCS and m["source_runs"] == ["r0", "r1", "r2"]
+    assert outkey(read_output(spark, root)) == before
+    assert sorted(
+        r.doc_id for r in committed_doc_ids(spark, root).collect()
+    ) == ids_before
+    assert os.listdir(f"{root}/data") == ["run=c1"]
+    assert pending_documents(docs_df, root).count() == 0  # resume no-op
+
+    # crash window (a): ledger gone, data dir still in place
+    shutil.rmtree(f"{root}/ledger/run=c1")
+    assert sorted(
+        r.doc_id for r in committed_doc_ids(spark, root).collect()
+    ) == ids_before
+    assert pending_documents(docs_df, root).count() == 0
+
+    # crash window (b): data dir moved to trash too (both gone) →
+    # every doc is pending again, none double-counted
+    os.makedirs(f"{root}/_trash/x", exist_ok=True)
+    os.replace(f"{root}/data/run=c1", f"{root}/_trash/x/run=c1")
+    assert pending_documents(docs_df, root).count() == N_DOCS
+
+
 def test_ledger_migrates_legacy_metric_sidecars(spark, docs_df, tmp_path):
     """ADVICE r3: roots written before the _sidecars layout carry
     run_*.json directly under {root}/metrics/ — the next commit must
