@@ -187,6 +187,13 @@ def compact_runs(
         raise ValueError(f"no committed runs to compact under {root}")
     compacted_id = compacted_id or f"compact_{run_ids[0]}_{run_ids[-1]}"
     src_dirs = [os.path.join(_data_path(root), f"run={r}") for r in run_ids]
+    final_check = os.path.join(_data_path(root), f"run={compacted_id}")
+    if compacted_id in run_ids or os.path.exists(final_check):
+        # failing BEFORE any mutation beats discovering the collision
+        # at the atomic-publish rename, after source dirs moved
+        raise ValueError(
+            f"compacted_id {compacted_id!r} collides with an existing run"
+        )
 
     tmp_dir = os.path.join(_data_path(root), f"_compact_tmp_{compacted_id}")
     src = spark.read.parquet(*src_dirs)

@@ -719,9 +719,11 @@ def test_ann_recall_gates_vs_brute_force(spark):
     r4 shipped params nprobe=8/16, iters=10, on near-isotropic 64-dim
     vectors where recall tracks candidate coverage) on sf0.001; gates
     sit just below to absorb BLAS summation-order differences only
-    (IVF gate ≥0.75 per VERDICT r3 item 5)."""
+    (IVF gate ≥0.75 per VERDICT r3 item 5). r4 adds the PQ family
+    (compressed-domain ADC scan + exact re-rank): measured 0.88 at
+    the shipped defaults, gated ≥0.80."""
     from onnxocr_spark.operators.similarity import (
-        brute_force_topk, ivf_topk, lsh_topk,
+        brute_force_topk, ivf_topk, lsh_topk, pq_topk,
     )
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -732,9 +734,12 @@ def test_ann_recall_gates_vs_brute_force(spark):
     ivf = {(r.query_id, r.neighbor_id)
            for r in ivf_topk(emb, 5, 10, n_clusters=16, nprobe=8,
                              iters=10).collect()}
+    pq = {(r.query_id, r.neighbor_id)
+          for r in pq_topk(emb, 5, 10).collect()}
     assert len(bf) == 50
     assert len(lsh & bf) / len(bf) >= 0.80
     assert len(ivf & bf) / len(bf) >= 0.75
+    assert len(pq & bf) / len(bf) >= 0.80
 
 
 # ------------------------------------------------------------ PDF source
