@@ -806,6 +806,54 @@ SELECT doc_id,
 FROM votes GROUP BY doc_id
 """
 
+# SimHash near-dup pairs (r4): hamming distance ≤ 3 over the 48-bit
+# signatures via the multi-index — 4 disjoint 12-bit bands; by
+# pigeonhole a pair within hamming 3 differs in at most 3 bands, so at
+# least one band matches EXACTLY and the equi-join on (band, bsig)
+# finds every qualifying pair (recall 1, not approximate — which is
+# why the DuckDB oracle can be the brute-force ALL-PAIRS scan with no
+# banding at all: if the multi-index lost a pair, the driver's hash
+# compare would catch it). Spark `^` is bitwise xor; DuckDB's `^` is
+# exponentiation — its oracle must use xor() (dialect trap).
+_SIMHASH_PAIRS_SPARK = """
+WITH sig AS ({simhash}),
+bands AS (
+  SELECT doc_id, simhash, band,
+         (shiftright(simhash, CAST(band * 12 AS INT)) & 4095) AS bsig
+  FROM sig LATERAL VIEW explode(sequence(0, 3)) x AS band
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+WHERE bit_count(a.simhash ^ b.simhash) <= 3
+"""
+_SIMHASH_PAIRS_DUCK_TEMPLATE = """
+WITH sig AS ({simhash})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+_SIMHASH_PAIRS_DUCK = _SIMHASH_PAIRS_DUCK_TEMPLATE.format(
+    simhash=_SIMHASH_DUCK.strip()
+)
+
+
+def _simhash_pairs_spark(docs_src: str) -> str:
+    return _SIMHASH_PAIRS_SPARK.format(
+        simhash=_SIMHASH_SPARK.format(docs_src=docs_src)
+    )
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-≤3 simhash pairing via the 4×12-bit multi-index (recall
+    1 by pigeonhole; the oracle is the brute-force all-pairs scan)."""
+    _register(spark, sf_dir)
+    return spark.sql(_simhash_pairs_spark(_docs_src(spark, sf_dir)))
+
+
 # n-gram Jaccard near-dup pairs over distinct trigram sets.
 _JACCARD_TEMPLATE = """
 WITH toks AS ({toks}),
@@ -2098,7 +2146,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_pages_text": q_pdf_pages_text,
         "annotated_boxes_count": q_annotated_boxes_count,
         # relational skeleton
-        "explode_tokens": _sqlq(_EXPLODE_SPARK),
         "restitch_docs": _sqlq(_RESTITCH_SPARK),
         "ctc_dedupe_analog": _sqlq(_CTC_SPARK),
         "reading_order_topk": _sqlq(_READING_ORDER_SPARK),
@@ -2112,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_keepers": q_dedup_cluster_keepers,
         "dedup_cleaned_corpus": q_dedup_cleaned_corpus,
         "dedup_simhash": _sqlq_fanout(_SIMHASH_SPARK),
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ngram_jaccard_pairs": _sqlq_fanout(_JACCARD_SPARK),
         "embedding_cosine_topk": q_cosine_topk,
         "embedding_norm_stats": _sqlq(_EMB_NORM_SPARK),
@@ -2143,6 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_chunks": _sqlq_fanout(_BOILERPLATE_SPARK),
         # --- tail: outside the driver's 50-row window ---
         # long-stable (green driver rows in r1–r3, unchanged since)
+        "explode_tokens": _sqlq(_EXPLODE_SPARK),
         "resume_anti_join": _sqlq(_ANTI_JOIN_SPARK),
         "tumbling_window_daily": _sqlq(_TUMBLING_SPARK),
         "batch_max_ratio": _sqlq(_BATCH_MAX),
@@ -2194,6 +2243,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_keepers": _KEEPERS_DUCK,
         "dedup_cleaned_corpus": _CLEANED_DUCK,
         "dedup_simhash": _SIMHASH_DUCK,
+        "dedup_simhash_pairs": _SIMHASH_PAIRS_DUCK,
         "ngram_jaccard_pairs": _JACCARD_DUCK,
         "embedding_cosine_topk": _COSINE_DUCK,
         "embedding_norm_stats": _EMB_NORM_DUCK,
