@@ -1485,6 +1485,29 @@ FROM toks t JOIN freq f ON t.tok = f.tok
 GROUP BY t.doc_id
 """
 
+# Event sessionization (r4): the classic gap-rule window op over the
+# events table — a new session starts when a user's inter-event gap
+# exceeds 30 minutes. One window partitioned by user_id (parallel,
+# never single-partition), ordered (ts, event_id) so equal timestamps
+# break ties identically in both engines; timestamp arithmetic is
+# exact (no float anywhere), and the strict > means a gap of exactly
+# 30:00 continues the session in both engines.
+_SESSIONS_SQL = """
+SELECT user_id,
+       CAST(sum(new_s) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+                OR ts > lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                     + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+) GROUP BY user_id
+"""
+
 # top-k terms across the corpus (classic corpus-stats aggregation)
 _TOP_TERMS_SPARK = """
 SELECT tok, CAST(count(*) AS BIGINT) AS n
@@ -2148,7 +2171,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational skeleton
         "restitch_docs": _sqlq(_RESTITCH_SPARK),
         "ctc_dedupe_analog": _sqlq(_CTC_SPARK),
-        "reading_order_topk": _sqlq(_READING_ORDER_SPARK),
         "boxes_texts_zip": _sqlq(_ZIP_JOIN),
         "max_candidates_limit": _sqlq(_MAX_CAND),
         # training-data pipeline ops
@@ -2189,9 +2211,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _sqlq(_STRATSAMPLE_SPARK),
         "token_rarity_stats": _sqlq_fanout(_RARITY_SPARK),
         "boilerplate_chunks": _sqlq_fanout(_BOILERPLATE_SPARK),
+        "event_sessionization": _sqlq(_SESSIONS_SQL),
         # --- tail: outside the driver's 50-row window ---
         # long-stable (green driver rows in r1–r3, unchanged since)
         "explode_tokens": _sqlq(_EXPLODE_SPARK),
+        "reading_order_topk": _sqlq(_READING_ORDER_SPARK),
         "resume_anti_join": _sqlq(_ANTI_JOIN_SPARK),
         "tumbling_window_daily": _sqlq(_TUMBLING_SPARK),
         "batch_max_ratio": _sqlq(_BATCH_MAX),
@@ -2267,6 +2291,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRATSAMPLE_DUCK,
         "token_rarity_stats": _RARITY_DUCK,
         "boilerplate_chunks": _BOILERPLATE_DUCK,
+        "event_sessionization": _SESSIONS_SQL,
         "html_main_content": _HTML_MAIN_DUCK,
         "doc_fingerprint": _FINGERPRINT,
         "doc_rolling_hash": _ROLLHASH_DUCK,
