@@ -47,16 +47,20 @@ _SCAN_SPLITS: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 
 
 def _register(spark: SparkSession, sf_dir: str) -> None:
-    sf = os.path.abspath(sf_dir)
-    if _REGISTERED.get(spark) == sf:
-        return
     # workload confs that matter inside any session the driver gives us
-    # (runtime-settable SQL confs only; static ones live in build_session)
+    # (runtime-settable SQL confs only; static ones live in build_session).
+    # Set BEFORE the memo check: conf.set is cheap and only the parquet
+    # footer reads need memoizing — a test/tool that flips a conf on the
+    # shared session must not leak it into later battery queries
+    # (ADVICE r4: the memo-hit early return used to skip these).
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
     spark.conf.set(
         "spark.sql.execution.rangeExchange.sampleSizePerPartition", "5000"
     )
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    sf = os.path.abspath(sf_dir)
+    if _REGISTERED.get(spark) == sf:
+        return
     for t in TABLES:
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).createOrReplaceTempView(t)
     _REGISTERED[spark] = sf

@@ -39,13 +39,20 @@ import sys
 import time
 
 
+_VIEW_SEQ = iter(range(1, 1 << 30))
+
+
 def cleaned_corpus(docs, policy: str):
-    """(keepers DataFrame, retired DataFrame) for the chosen policy.
-    The near-dup policies run the CANONICAL battery SQL
-    (operators/dedup.py fragments — explode + codegen'd hashing +
-    map-side-combined groupBy, the plan shapes the query battery pins),
-    not the streaming operator's interpreted per-row fold, which exists
-    only because a streaming aggregation cannot precede the stateful
+    """(keepers DataFrame, retired DataFrame, cleanup) for the chosen
+    policy. ``cleanup()`` unpersists the cached input and drops the
+    scoped temp view — call it AFTER the returned plans are
+    materialized (ADVICE r4: the one-shot spark-submit path masked a
+    cache + global-view leak for in-process callers). The near-dup
+    policies run the CANONICAL battery SQL (operators/dedup.py
+    fragments — explode + codegen'd hashing + map-side-combined
+    groupBy, the plan shapes the query battery pins), not the
+    streaming operator's interpreted per-row fold, which exists only
+    because a streaming aggregation cannot precede the stateful
     operator."""
     from pyspark.sql import functions as F
 
@@ -57,6 +64,12 @@ def cleaned_corpus(docs, policy: str):
 
     spark = docs.sparkSession
     docs = docs.persist()
+    view = f"dedup_input_{next(_VIEW_SEQ)}"
+
+    def cleanup() -> None:
+        docs.unpersist(blocking=True)
+        spark.catalog.dropTempView(view)
+
     if policy == "exact":
         fp = docs.select(
             "doc_id",
@@ -67,10 +80,14 @@ def cleaned_corpus(docs, policy: str):
         keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select(
             "doc_id"
         )
-        return docs.join(keep, "doc_id"), docs.join(keep, "doc_id", "left_anti")
+        return (
+            docs.join(keep, "doc_id"),
+            docs.join(keep, "doc_id", "left_anti"),
+            cleanup,
+        )
 
-    docs.createOrReplaceTempView("dedup_input")
-    src = "SELECT doc_id, text FROM dedup_input"
+    docs.createOrReplaceTempView(view)
+    src = f"SELECT doc_id, text FROM {view}"
 
     if policy == "online":
         keep = spark.sql(ONLINE_BAND_KEEPERS_SQL.format(docs_src=src))
@@ -81,7 +98,11 @@ def cleaned_corpus(docs, policy: str):
             F.size(F.split("text", " ")) < 3
         ).select("doc_id")
         keep = keep.unionByName(no_bands)
-        return docs.join(keep, "doc_id"), docs.join(keep, "doc_id", "left_anti")
+        return (
+            docs.join(keep, "doc_id"),
+            docs.join(keep, "doc_id", "left_anti"),
+            cleanup,
+        )
 
     # policy == "cc": star edges (doc -> band's min doc; identical
     # closure to the clique pairs at O(N*bands) edges, no k^2 join)
@@ -94,6 +115,7 @@ def cleaned_corpus(docs, policy: str):
     return (
         docs.join(retired_ids, "doc_id", "left_anti"),
         docs.join(retired_ids, "doc_id"),
+        cleanup,
     )
 
 
@@ -117,7 +139,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     run_id = args.run_id or time.strftime("%Y%m%d_%H%M%S")
     docs = spark.read.parquet(args.input)
-    kept, retired = cleaned_corpus(docs, args.policy)
+    kept, retired, cleanup = cleaned_corpus(docs, args.policy)
 
     data_dir = os.path.join(args.output, "data", f"run={run_id}")
     kept.write.mode("overwrite").parquet(data_dir)
@@ -131,6 +153,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     retired_dir = os.path.join(args.output, "retired", f"run={run_id}")
     retired.select("doc_id").write.mode("overwrite").parquet(retired_dir)
+    cleanup()  # kept/retired are materialized; release cache + view
 
     n_in = docs.count()
     n_kept = spark.read.parquet(data_dir).count()

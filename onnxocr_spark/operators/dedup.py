@@ -129,6 +129,16 @@ def connected_component_keepers(
         stats["rounds"] = rounds
 
     edges.unpersist()
+    if prev_cached is not None:
+        # The fixpoint landed on a persist round: swap the result's
+        # backing store from a CacheManager-registered cache (a strong
+        # reference that outlives the caller — each CC call on a
+        # long-lived session would permanently leak one cached vertex
+        # table) to a localCheckpoint, whose blocks the ContextCleaner
+        # reclaims once the returned DataFrame is garbage-collected.
+        # One extra cache-scan materialization, no shuffle.
+        labels = labels.localCheckpoint(eager=True)
+        prev_cached.unpersist(blocking=True)
     return labels.select(F.col("v").alias("doc_id"), F.col("l").alias("keeper"))
 
 

@@ -150,13 +150,18 @@ def parse_multipart(body: bytes, content_type: str) -> list[tuple[str, bytes]]:
     (app/routers/v2.py upload handlers): the service framework parses
     the multipart stream before the engine sees bytes; here the parser
     IS the operator, so a captured upload body (e.g. archived request
-    logs) is a first-class media source. Minimal and strict: boundary
-    from the Content-Type parameter, parts split on the dash-boundary
-    delimiter, per-part headers scanned for Content-Disposition
-    filename, payload runs to the next delimiter with the trailing
-    CRLF stripped. Parts without a filename (plain form fields) are
-    skipped. Malformed bodies raise ValueError — callers turn that
-    into ok=false rows, the bad-media contract."""
+    logs) is a first-class media source. Strict RFC 2046 framing: a
+    delimiter is CRLF + "--" + boundary and only counts when followed
+    by (optional transport padding then) CRLF for the next part or
+    "--" for the close-delimiter — so boundary bytes appearing
+    mid-content without the CRLF anchor, or a boundary that is a
+    prefix of a longer token in the payload, do NOT split the part
+    (archived third-party bodies can't be trusted to honor the
+    generator-side non-occurrence rule). The first delimiter may omit
+    the leading CRLF when the body has no preamble. Parts without a
+    Content-Disposition filename (plain form fields) are skipped.
+    Malformed bodies raise ValueError — callers turn that into
+    ok=false rows, the bad-media contract."""
     marker = "boundary="
     idx = content_type.find(marker)
     if idx < 0:
@@ -164,18 +169,37 @@ def parse_multipart(body: bytes, content_type: str) -> list[tuple[str, bytes]]:
     boundary = content_type[idx + len(marker):].split(";")[0].strip().strip('"')
     if not boundary:
         raise ValueError("empty multipart boundary")
-    delim = b"--" + boundary.encode()
-    chunks = body.split(delim)
-    # chunks[0] is the preamble; the last chunk is the epilogue after
-    # the closing "--" delimiter
-    if len(chunks) < 2 or not chunks[-1].lstrip(b"\r\n ").startswith(b"--"):
+    bdelim = b"\r\n--" + boundary.encode()
+    # Prepending CRLF makes a preamble-less first delimiter ("--boundary"
+    # at offset 0) match the same CRLF-anchored pattern as every other.
+    buf = b"\r\n" + body
+    # Each cut is (delimiter_start, content_start_after_delimiter).
+    cuts: list[tuple[int, int]] = []
+    closed = False
+    pos = 0
+    while True:
+        i = buf.find(bdelim, pos)
+        if i < 0:
+            break
+        k = i + len(bdelim)
+        while k < len(buf) and buf[k:k + 1] in (b" ", b"\t"):
+            k += 1  # transport padding before the line break
+        if buf[k:k + 2] == b"--":
+            cuts.append((i, k + 2))
+            closed = True
+            break
+        if buf[k:k + 2] == b"\r\n":
+            cuts.append((i, k + 2))
+            pos = k + 2
+        else:
+            # boundary bytes embedded in content without a valid
+            # delimiter suffix — not a delimiter, keep scanning
+            pos = i + len(bdelim)
+    if len(cuts) < 2 or not closed:
         raise ValueError("multipart body missing closing delimiter")
     out: list[tuple[str, bytes]] = []
-    for part in chunks[1:-1]:
-        if not part.startswith(b"\r\n"):
-            part = part.lstrip(b"\r\n")
-        else:
-            part = part[2:]
+    for (_, content_start), (next_start, _) in zip(cuts, cuts[1:]):
+        part = buf[content_start:next_start]
         head, sep, payload = part.partition(b"\r\n\r\n")
         if not sep:
             raise ValueError("multipart part without header terminator")
@@ -189,8 +213,6 @@ def parse_multipart(body: bytes, content_type: str) -> list[tuple[str, bytes]]:
                 )
         if filename is None:
             continue  # plain form field, not a file part
-        if payload.endswith(b"\r\n"):
-            payload = payload[:-2]
         out.append((filename, payload))
     return out
 

@@ -163,6 +163,46 @@ def test_multipart_source(spark):
         )
 
 
+def test_multipart_delimiter_is_crlf_anchored():
+    """RFC 2046 framing (r5 advice): bare '--boundary' bytes inside a
+    part's content, and tokens that merely *extend* the boundary
+    ('--abcdef' when boundary='abc'), must not split the part — only
+    CRLF + '--' + boundary followed by CRLF or '--' is a delimiter."""
+    from onnxocr_spark.operators.sources import parse_multipart
+
+    b = "abc"
+    ctype = f"multipart/form-data; boundary={b}"
+    # payload contains the bare boundary bytes mid-content (no CRLF
+    # anchor) AND a longer token the boundary is a prefix of, anchored
+    # by a real CRLF but with a non-delimiter suffix ('def' is neither
+    # CRLF nor '--').
+    payload = b"head --abc tail\r\n--abcdef keeps going\x00\x01"
+    body = (
+        f"--{b}\r\nContent-Disposition: form-data; "
+        f'name="f"; filename="x.bin"\r\n\r\n'.encode()
+        + payload
+        + f"\r\n--{b}--\r\n".encode()
+    )
+    [(fname, content)] = parse_multipart(body, ctype)
+    assert fname == "x.bin" and content == payload
+
+    # transport padding after the delimiter line is tolerated
+    padded = (
+        f"--{b} \t\r\nContent-Disposition: form-data; "
+        f'filename="y.bin"\r\n\r\n'.encode()
+        + b"data"
+        + f"\r\n--{b}  --".encode()
+    )
+    [(fname2, content2)] = parse_multipart(padded, ctype)
+    assert fname2 == "y.bin" and content2 == b"data"
+
+    # a body whose only 'closing delimiter' lacks the CRLF anchor is
+    # malformed, not silently accepted
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        parse_multipart(f"--{b}\r\nh: v\r\n\r\nx--{b}--".encode(), ctype)
+
+
 def test_paged_media(spark):
     from onnxocr_spark.operators.sources import ocr_paged_media
 

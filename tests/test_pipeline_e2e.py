@@ -206,6 +206,12 @@ def test_dedup_job_policies(spark, tmp_path):
     df.write.parquet(src)
 
     results = {}
+    # SQL-cache layer only: DataFrame.persist registers a STRONG
+    # CacheManager reference (the permanent-leak layer ADVICE r4
+    # flagged); CC's localCheckpoint blocks live at the RDD layer and
+    # are ContextCleaner-reclaimed once the result DF is GC'd.
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    cache_empty_before = cache_mgr.isEmpty()
     for policy in ("exact", "online", "cc"):
         root = str(tmp_path / f"out_{policy}")
         rc = dedup_job.main(["--input", src, "--output", root,
@@ -220,6 +226,12 @@ def test_dedup_job_policies(spark, tmp_path):
         side = json.load(open(f"{root}/metrics/_sidecars/run_t1.json"))
         assert side["docs_kept"] == len(kept)
         results[policy] = kept
+        # no cache or scoped-view leak on the shared session (ADVICE r4)
+        assert not [
+            v.name for v in spark.catalog.listTables()
+            if v.name.startswith("dedup_input")
+        ]
+        assert cache_mgr.isEmpty() == cache_empty_before
 
     # `exact` fingerprints the FIRST-4-TOKEN prefix (the battery's
     # dedup_exact rule), so the tail-changed doc 3 shares doc 0's
