@@ -678,6 +678,59 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM retired)
 """.format(lsh=_LSH_DUCK.strip())
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-run dedup (VERDICT r4 item 1): the corpus is
+    split into a committed batch (doc_id below the data-derived
+    midpoint) and a new batch; the committed batch contributes ONLY its
+    band-signature index (band, band_sig, min doc = hub) — its text is
+    never re-shingled — and the new batch is decided by a connected-
+    component closure over its own star edges plus index-match edges
+    (operators/dedup.incremental_new_doc_decisions, committed-wins via
+    negative hub vertices). The DuckDB oracle derives the SAME
+    decisions from the FULL-corpus recursive closure, so the green row
+    is the equivalence proof incremental == full for monotone ids. The
+    split point is data-derived identically on both sides
+    (FLOOR((MAX(doc_id)+1)/2) — CLAUDE.md float/dialect rule: FLOOR,
+    never a bare double→BIGINT cast)."""
+    from onnxocr_spark.operators.dedup import (
+        BAND_INDEX_SQL, BANDS_SQL, incremental_new_doc_decisions,
+    )
+
+    _register(spark, sf_dir)
+    src = _docs_src(spark, sf_dir)
+    split = (
+        "(SELECT CAST(FLOOR((MAX(doc_id) + 1) / 2.0) AS BIGINT) "
+        "FROM documents)"
+    )
+    old_src = f"SELECT doc_id, text FROM ({src}) WHERE doc_id < {split}"
+    new_src = f"SELECT doc_id, text FROM ({src}) WHERE doc_id >= {split}"
+    index = spark.sql(BAND_INDEX_SQL.format(docs_src=old_src))
+    new_bands = spark.sql(BANDS_SQL.format(docs_src=new_src))
+    new_docs = spark.sql(f"SELECT doc_id FROM ({new_src}) s")
+    return incremental_new_doc_decisions(new_docs, new_bands, index).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("kept").cast("int").alias("kept"),
+    )
+
+
+_INCREMENTAL_DUCK = """
+WITH RECURSIVE pairs AS ({lsh}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+reach(v, l) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.v
+),
+retired AS (SELECT v AS doc_id FROM reach GROUP BY v HAVING v <> MIN(l)),
+split AS (SELECT CAST(FLOOR((MAX(doc_id) + 1) / 2.0) AS BIGINT) AS s
+          FROM documents)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(d.doc_id NOT IN (SELECT doc_id FROM retired) AS INT) AS kept
+FROM documents d, split WHERE d.doc_id >= split.s
+""".format(lsh=_LSH_DUCK.strip())
+
+
 # SimHash: 48-bit fingerprint from token hashes (hex-prefix of md5).
 # Single-shuffle plan (VERDICT r1 item 4): tokens explode narrowly, the
 # 48 bit-votes are 48 codegen'd SUM aggregates in ONE map-side-combined
@@ -996,6 +1049,102 @@ SELECT doc_id,
        (len(string_split(text, ' ')) BETWEEN 5 AND 1000) AS is_quality
 FROM documents
 """
+
+# --------------------------------------------------------------------------
+# PII detection / redaction (VERDICT r4 item 2). The synthetic corpus
+# carries no PII, so the fixture is built INSIDE the query on both
+# engines from doc_id — the same exactness-coupled-stub discipline the
+# multimodal decoders use (CLAUDE.md): a deterministic email / phone /
+# IPv4 / SSN-shaped token is appended to docs on residue classes of
+# doc_id, then the operator under test (the regex battery) detects and
+# redacts them. Patterns are written to behave identically under Java
+# regex (Spark) and RE2 (DuckDB): ASCII classes, ASCII \b, non-capturing
+# groups, no backreferences. Scrub order email → IP → SSN → phone is
+# fixed on both sides (the 3-2-4 SSN shape cannot prefix-match inside a
+# 3-3-4 phone thanks to \b, but a pinned order keeps the fingerprint
+# stable if patterns ever widen). Redaction is verified bit-exactly via
+# md5 of the scrubbed text. Spark string literals escape backslashes
+# ('\\b'); DuckDB takes them raw — hence per-engine pattern spellings.
+
+_PII_AUG_SPARK = """
+  SELECT doc_id,
+         concat(text,
+           CASE WHEN doc_id % 3 = 0 THEN concat(' contact user',
+                CAST(doc_id AS STRING), '@example.com now') ELSE '' END,
+           CASE WHEN doc_id % 4 = 0 THEN concat(' call 415-555-',
+                lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' today')
+                ELSE '' END,
+           CASE WHEN doc_id % 5 = 0 THEN concat(' from 10.',
+                CAST(doc_id % 256 AS STRING), '.0.',
+                CAST((doc_id * 7) % 256 AS STRING), ' logged') ELSE '' END,
+           CASE WHEN doc_id % 7 = 0 THEN concat(' ssn 123-45-',
+                lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' noted')
+                ELSE '' END
+         ) AS text
+  FROM documents
+"""
+_PII_AUG_DUCK = _PII_AUG_SPARK.replace("AS STRING", "AS VARCHAR")
+
+_PII_EMAIL_J = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP_J = r"\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+_PII_SSN_J = r"\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+_PII_PHONE_J = r"\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+_PII_EMAIL_R = _PII_EMAIL_J.replace("\\\\", "\\")
+_PII_IP_R = _PII_IP_J.replace("\\\\", "\\")
+_PII_SSN_R = _PII_SSN_J.replace("\\\\", "\\")
+_PII_PHONE_R = _PII_PHONE_J.replace("\\\\", "\\")
+
+_PII_STATS_SPARK = f"""
+WITH pii_docs AS ({_PII_AUG_SPARK})
+SELECT doc_id,
+       CAST(regexp_count(text, '{_PII_EMAIL_J}') AS BIGINT) AS n_email,
+       CAST(regexp_count(text, '{_PII_PHONE_J}') AS BIGINT) AS n_phone,
+       CAST(regexp_count(text, '{_PII_IP_J}') AS BIGINT) AS n_ip,
+       CAST(regexp_count(text, '{_PII_SSN_J}') AS BIGINT) AS n_ssn
+FROM pii_docs
+"""
+_PII_STATS_DUCK = f"""
+WITH pii_docs AS ({_PII_AUG_DUCK})
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL_R}')) AS BIGINT)
+         AS n_email,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE_R}')) AS BIGINT)
+         AS n_phone,
+       CAST(len(regexp_extract_all(text, '{_PII_IP_R}')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(text, '{_PII_SSN_R}')) AS BIGINT) AS n_ssn
+FROM pii_docs
+"""
+
+_PII_SCRUB_SPARK = f"""
+WITH pii_docs AS ({_PII_AUG_SPARK})
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             text, '{_PII_EMAIL_J}', '<EMAIL>'),
+             '{_PII_IP_J}', '<IP>'),
+             '{_PII_SSN_J}', '<SSN>'),
+             '{_PII_PHONE_J}', '<PHONE>')) AS redacted_fp,
+       CAST(regexp_count(text, '{_PII_EMAIL_J}')
+          + regexp_count(text, '{_PII_PHONE_J}')
+          + regexp_count(text, '{_PII_IP_J}')
+          + regexp_count(text, '{_PII_SSN_J}') AS BIGINT) AS n_redacted
+FROM pii_docs
+"""
+_PII_SCRUB_DUCK = f"""
+WITH pii_docs AS ({_PII_AUG_DUCK})
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             text, '{_PII_EMAIL_R}', '<EMAIL>', 'g'),
+             '{_PII_IP_R}', '<IP>', 'g'),
+             '{_PII_SSN_R}', '<SSN>', 'g'),
+             '{_PII_PHONE_R}', '<PHONE>', 'g')) AS redacted_fp,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL_R}'))
+          + len(regexp_extract_all(text, '{_PII_PHONE_R}'))
+          + len(regexp_extract_all(text, '{_PII_IP_R}'))
+          + len(regexp_extract_all(text, '{_PII_SSN_R}')) AS BIGINT)
+         AS n_redacted
+FROM pii_docs
+"""
+
 
 _TOKEN_COUNT_SPARK = """
 SELECT doc_id,
@@ -2173,11 +2322,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_pages_text": q_pdf_pages_text,
         "annotated_boxes_count": q_annotated_boxes_count,
         # relational skeleton
-        "restitch_docs": _sqlq(_RESTITCH_SPARK),
         "ctc_dedupe_analog": _sqlq(_CTC_SPARK),
-        "boxes_texts_zip": _sqlq(_ZIP_JOIN),
-        "max_candidates_limit": _sqlq(_MAX_CAND),
         # training-data pipeline ops
+        "pii_stats": _sqlq(_PII_STATS_SPARK),
+        "pii_scrub": _sqlq(_PII_SCRUB_SPARK),
+        "dedup_incremental": q_dedup_incremental,
         "dedup_exact": _sqlq(_DEDUP_EXACT_SPARK),
         "dedup_minhash_sig": _sqlq_fanout(_MINHASH_SPARK),
         "dedup_minhash_lsh_pairs": _sqlq_fanout(_LSH_SPARK),
@@ -2217,7 +2366,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_chunks": _sqlq_fanout(_BOILERPLATE_SPARK),
         "event_sessionization": _sqlq(_SESSIONS_SQL),
         # --- tail: outside the driver's 50-row window ---
-        # long-stable (green driver rows in r1–r3, unchanged since)
+        # long-stable (green driver rows in r1–r4, unchanged since)
+        "restitch_docs": _sqlq(_RESTITCH_SPARK),
+        "boxes_texts_zip": _sqlq(_ZIP_JOIN),
+        "max_candidates_limit": _sqlq(_MAX_CAND),
         "explode_tokens": _sqlq(_EXPLODE_SPARK),
         "reading_order_topk": _sqlq(_READING_ORDER_SPARK),
         "resume_anti_join": _sqlq(_ANTI_JOIN_SPARK),
@@ -2264,6 +2416,9 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_window_daily": _TUMBLING_DUCK,
         "q1_pricing_summary": _Q1,
         "q3_top_orders": _Q3,
+        "pii_stats": _PII_STATS_DUCK,
+        "pii_scrub": _PII_SCRUB_DUCK,
+        "dedup_incremental": _INCREMENTAL_DUCK,
         "dedup_exact": _DEDUP_EXACT_DUCK,
         "dedup_minhash_sig": _MINHASH_DUCK,
         "dedup_minhash_lsh_pairs": _LSH_DUCK,

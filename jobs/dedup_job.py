@@ -23,13 +23,30 @@ same way. Policies:
   (streaming_near_dedup) applies incrementally.
 - ``exact``:  md5-prefix fingerprint groups, min doc_id kept.
 
-Unlike extraction, dedup is a WHOLE-CORPUS decision — keepers depend on
-every document — so there is no per-doc resume; each run re-decides on
-its full input and commits under its own run_id (idempotent per run_id,
-same overwrite contract as the extract job). At 10^12 docs the heavy
-lifting is the same plans the query battery pins: narrow shingle
-fan-out, map-side-combined minhash groupBy, banded equi-join / window,
-O(log diameter) pointer-jumping CC.
+Without ``--resume``, dedup is a WHOLE-CORPUS decision — keepers depend
+on every document — and each run re-decides its full input and commits
+under its own run_id (idempotent per run_id, same overwrite contract as
+the extract job). At 10^12 docs the heavy lifting is the same plans the
+query battery pins: narrow shingle fan-out, map-side-combined minhash
+groupBy, banded equi-join / window, O(log diameter) pointer-jumping CC.
+
+``--resume`` (cc policy) makes ingest INCREMENTAL: every committed run
+persists a band-signature index ({root}/sigindex/run=<id>: one
+(band, band_sig, hub=min doc) row per distinct signature, covering kept
+AND retired docs — matching only keepers would miss transitive
+duplicates of retired docs). A resumed run treats ``--input`` as the
+NEW batch only: docs already in any prior ledger or retired manifest
+are skipped (idempotent re-submission), the remainder are shingled,
+and their keep/retire decision comes from
+operators/dedup.incremental_new_doc_decisions — a CC closure over
+within-batch star edges plus (band, band_sig) index matches, with
+committed docs always winning. Prior batches are never re-read, let
+alone re-shingled: at 100 TB with daily ingest this is the difference
+between a 1%-of-corpus job and a full-corpus job every day. For
+monotone doc ids (append-only corpora) the cumulative kept set equals
+what one full-corpus cc run over all batches would decide — the
+dedup_incremental battery oracle and the two-batch e2e test pin that
+equivalence.
 """
 
 from __future__ import annotations
@@ -43,31 +60,38 @@ _VIEW_SEQ = iter(range(1, 1 << 30))
 
 
 def cleaned_corpus(docs, policy: str):
-    """(keepers DataFrame, retired DataFrame, cleanup) for the chosen
-    policy. ``cleanup()`` unpersists the cached input and drops the
-    scoped temp view — call it AFTER the returned plans are
+    """(keepers DataFrame, retired DataFrame, cleanup, sigindex) for
+    the chosen policy. ``cleanup()`` unpersists the cached inputs and
+    drops the scoped temp view — call it AFTER the returned plans are
     materialized (ADVICE r4: the one-shot spark-submit path masked a
-    cache + global-view leak for in-process callers). The near-dup
-    policies run the CANONICAL battery SQL (operators/dedup.py
-    fragments — explode + codegen'd hashing + map-side-combined
-    groupBy, the plan shapes the query battery pins), not the
-    streaming operator's interpreted per-row fold, which exists only
-    because a streaming aggregation cannot precede the stateful
-    operator."""
+    cache + global-view leak for in-process callers). ``sigindex`` is
+    the (band, band_sig, hub) index future --resume runs dedup
+    against — cc policy only (None otherwise), derived from the SAME
+    bands rows the edge closure consumes so the initial run shingles
+    its corpus exactly once. The near-dup policies run the CANONICAL
+    battery SQL (operators/dedup.py fragments — explode + codegen'd
+    hashing + map-side-combined groupBy, the plan shapes the query
+    battery pins), not the streaming operator's interpreted per-row
+    fold, which exists only because a streaming aggregation cannot
+    precede the stateful operator."""
     from pyspark.sql import functions as F
 
     from onnxocr_spark.operators.dedup import (
+        BANDS_SQL,
         ONLINE_BAND_KEEPERS_SQL,
-        STAR_EDGES_SQL,
         connected_component_keepers,
+        star_edges_from_bands,
     )
 
     spark = docs.sparkSession
     docs = docs.persist()
     view = f"dedup_input_{next(_VIEW_SEQ)}"
+    extra_cached = []
 
     def cleanup() -> None:
         docs.unpersist(blocking=True)
+        for c in extra_cached:
+            c.unpersist(blocking=True)
         spark.catalog.dropTempView(view)
 
     if policy == "exact":
@@ -84,6 +108,7 @@ def cleaned_corpus(docs, policy: str):
             docs.join(keep, "doc_id"),
             docs.join(keep, "doc_id", "left_anti"),
             cleanup,
+            None,
         )
 
     docs.createOrReplaceTempView(view)
@@ -102,20 +127,86 @@ def cleaned_corpus(docs, policy: str):
             docs.join(keep, "doc_id"),
             docs.join(keep, "doc_id", "left_anti"),
             cleanup,
+            None,
         )
 
-    # policy == "cc": star edges (doc -> band's min doc; identical
-    # closure to the clique pairs at O(N*bands) edges, no k^2 join)
-    # -> connected components -> keepers
-    pairs = spark.sql(STAR_EDGES_SQL.format(docs_src=src))
-    labels = connected_component_keepers(pairs)
+    # policy == "cc": bands (computed ONCE, cached — they feed both the
+    # edge closure and the persisted sigindex) -> star edges (doc ->
+    # band's min doc; identical closure to the clique pairs at
+    # O(N*bands) edges, no k^2 join) -> connected components -> keepers
+    bands = spark.sql(BANDS_SQL.format(docs_src=src)).persist()
+    extra_cached.append(bands)
+    labels = connected_component_keepers(star_edges_from_bands(bands))
     retired_ids = labels.filter(F.col("doc_id") != F.col("keeper")).select(
         "doc_id"
+    )
+    sigindex = bands.groupBy("band", "band_sig").agg(
+        F.min("doc_id").alias("hub")
     )
     return (
         docs.join(retired_ids, "doc_id", "left_anti"),
         docs.join(retired_ids, "doc_id"),
         cleanup,
+        sigindex,
+    )
+
+
+def incremental_corpus(docs, output_root: str):
+    """--resume: decide a NEW batch against prior runs' band-signature
+    index. Returns (kept, retired, cleanup, sigindex, batch) where
+    batch is the post-skip new input (for metrics) — otherwise the
+    cleaned_corpus contract. ``docs`` is the new batch only; docs
+    already in a prior ledger or retired manifest are dropped first
+    (idempotent re-submission), and prior batches' TEXT is never
+    read — the only cross-run state is {root}/sigindex/run=*."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from onnxocr_spark.operators.dedup import (
+        BANDS_SQL,
+        incremental_new_doc_decisions,
+    )
+
+    spark = docs.sparkSession
+    sig_dirs = sorted(glob.glob(os.path.join(output_root, "sigindex", "run=*")))
+    if not sig_dirs:
+        raise SystemExit(
+            "--resume: no sigindex under the output root; run an initial "
+            "cc dedup (without --resume) first"
+        )
+    led_dirs = sorted(glob.glob(os.path.join(output_root, "ledger", "run=*")))
+    ret_dirs = sorted(glob.glob(os.path.join(output_root, "retired", "run=*")))
+    processed = (
+        spark.read.parquet(*led_dirs).select("doc_id")
+        .unionByName(spark.read.parquet(*ret_dirs).select("doc_id"))
+        .distinct()
+    )
+    docs = docs.join(processed, "doc_id", "left_anti").persist()
+    view = f"dedup_input_{next(_VIEW_SEQ)}"
+    docs.createOrReplaceTempView(view)
+    bands = spark.sql(
+        BANDS_SQL.format(docs_src=f"SELECT doc_id, text FROM {view}")
+    ).persist()
+
+    def cleanup() -> None:
+        docs.unpersist(blocking=True)
+        bands.unpersist(blocking=True)
+        spark.catalog.dropTempView(view)
+
+    index = spark.read.parquet(*sig_dirs)
+    dec = incremental_new_doc_decisions(docs.select("doc_id"), bands, index)
+    kept_ids = dec.filter("kept").select("doc_id")
+    sigindex = bands.groupBy("band", "band_sig").agg(
+        F.min("doc_id").alias("hub")
+    )
+    return (
+        docs.join(kept_ids, "doc_id"),
+        docs.join(kept_ids, "doc_id", "left_anti"),
+        cleanup,
+        sigindex,
+        docs,
     )
 
 
@@ -125,7 +216,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", required=True)
     p.add_argument("--policy", choices=["cc", "online", "exact"], default="cc")
     p.add_argument("--run-id", default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="treat --input as a NEW batch and dedup it "
+                        "against prior runs' sigindex (cc policy only)")
     args = p.parse_args(argv)
+    if args.resume and args.policy != "cc":
+        p.error("--resume requires --policy cc")
 
     import os
 
@@ -139,7 +235,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     run_id = args.run_id or time.strftime("%Y%m%d_%H%M%S")
     docs = spark.read.parquet(args.input)
-    kept, retired, cleanup = cleaned_corpus(docs, args.policy)
+    if args.resume:
+        kept, retired, cleanup, sigindex, docs = incremental_corpus(
+            docs, args.output
+        )
+    else:
+        kept, retired, cleanup, sigindex = cleaned_corpus(docs, args.policy)
 
     data_dir = os.path.join(args.output, "data", f"run={run_id}")
     kept.write.mode("overwrite").parquet(data_dir)
@@ -153,9 +254,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     retired_dir = os.path.join(args.output, "retired", f"run={run_id}")
     retired.select("doc_id").write.mode("overwrite").parquet(retired_dir)
-    cleanup()  # kept/retired are materialized; release cache + view
+    if sigindex is not None:
+        sig_dir = os.path.join(args.output, "sigindex", f"run={run_id}")
+        sigindex.write.mode("overwrite").parquet(sig_dir)
+    n_in = docs.count()  # before cleanup: the cached input backs this
+    cleanup()  # kept/retired are materialized; release caches + view
 
-    n_in = docs.count()
     n_kept = spark.read.parquet(data_dir).count()
     n_retired = spark.read.parquet(retired_dir).count()
     import json

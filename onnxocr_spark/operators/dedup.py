@@ -231,6 +231,112 @@ SELECT DISTINCT doc_id AS doc_a, hub AS doc_b FROM (
 ) WHERE doc_id <> hub
 """.format(core=MINHASH_CORE_SQL)
 
+# Per-doc LSH band signatures — the common fragment the pair/star/
+# keeper templates inline, exposed on its own for the incremental
+# cross-run path, which needs the raw (doc_id, band, band_sig) rows of
+# ONLY the new batch.
+BANDS_SQL = """
+WITH sig AS ({core})
+SELECT doc_id, band,
+       concat_ws('|', transform(slice(mh, band * 4 + 1, 4),
+                                x -> CAST(x AS STRING))) AS band_sig
+FROM sig LATERAL VIEW explode(sequence(0, 3)) x AS band
+""".format(core=MINHASH_CORE_SQL)
+
+# Band-signature INDEX of a processed batch: one row per distinct
+# (band, band_sig) carrying the min doc id (hub) that emitted it. This
+# is what a committed dedup run persists so FUTURE runs never re-shingle
+# its documents: a new doc that shares any band signature with any
+# processed doc — kept OR retired (both are in the index; matching only
+# keepers would miss transitive duplicates of retired docs) — joins this
+# table instead of the processed corpus. Aggregated to distinct band
+# signatures the index is far smaller than the per-doc band table, and
+# the (band, band_sig) equi-join against it is skew-free: exactly one
+# index row per signature, however many processed docs shared it.
+BAND_INDEX_SQL = """
+SELECT band, band_sig, MIN(doc_id) AS hub
+FROM ({bands})
+GROUP BY band, band_sig
+""".format(bands=BANDS_SQL)
+
+
+def star_edges_from_bands(bands: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig) rows → star edges (doc_a, doc_b=hub):
+    every doc points at its band group's min doc. DataFrame twin of
+    STAR_EDGES_SQL for callers that already hold the bands rows (the
+    dedup job computes bands ONCE and feeds both the edge closure and
+    the persisted sigindex — at 100 TB a second shingle pass is the
+    single most expensive thing to avoid)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_sig")
+    return (
+        bands.withColumn("hub", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select(F.col("doc_id").alias("doc_a"), F.col("hub").alias("doc_b"))
+        .distinct()
+    )
+
+
+def incremental_new_doc_decisions(
+    new_docs: DataFrame, new_bands: DataFrame, index: DataFrame
+) -> DataFrame:
+    """Keep/retire decision for a NEW batch of documents against the
+    band-signature index of previously committed runs, without touching
+    (or re-shingling) any processed document.
+
+    Inputs: new_docs (doc_id) — every new doc, so band-less (<3-token)
+    docs are decided too; new_bands (doc_id, band, band_sig) over new
+    docs only; index (band, band_sig, hub) unioned over all prior runs
+    (hubs may repeat across runs — extra parallel edges are harmless).
+
+    Edge construction mirrors the full-corpus star-edge closure:
+      - within-batch: doc → min new doc per (band, band_sig) window;
+      - cross-run:    doc → -(hub+1) per matching index signature.
+    Prior-run hubs are remapped to NEGATIVE vertex ids so min-label
+    propagation implements committed-wins for ANY id assignment: a
+    component touching any processed doc gets a negative keeper, and an
+    all-new component's keeper is its min new doc id. A new doc is kept
+    iff its keeper is itself (absent from the graph ⇒ trivially kept).
+
+    Equivalence: when doc ids are monotone across batches (old < new,
+    the natural append-only corpus order), the kept set equals what the
+    full-corpus star-edge CC would decide for the same docs — a new doc
+    reaches a processed doc through band-share chains iff the full pair
+    graph connects them (every chain hop shares a band signature, and
+    any signature shared with ANY processed doc is in the index), and
+    an all-new component has identical membership in both graphs (a
+    cross edge out of it would imply a full-graph pair with a processed
+    doc). The dedup_incremental battery oracle tests exactly this: the
+    DuckDB side re-derives decisions from the FULL corpus closure.
+
+    Decisions only — keeper LABELS intentionally differ from the full
+    run (the incremental graph omits processed-batch internal edges, so
+    a component's min PROCESSED member may differ; its min NEW member
+    and the touches-processed predicate do not).
+
+    Scale: new-batch shingling is the only text-heavy work; the index
+    join ships 16-byte signatures; CC state is one row per clustered
+    NEW doc plus matched hubs. A daily 1%-ingest run costs ~1% of the
+    full-corpus job."""
+    star = star_edges_from_bands(new_bands)
+    cross = (
+        new_bands.join(index, ["band", "band_sig"])
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (-F.col("hub") - F.lit(1)).cast("bigint").alias("doc_b"),
+        )
+        .distinct()
+    )
+    labels = connected_component_keepers(star.unionByName(cross))
+    return new_docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        (
+            F.col("keeper").isNull() | (F.col("keeper") == F.col("doc_id"))
+        ).alias("kept"),
+    )
+
+
 ONLINE_BAND_KEEPERS_SQL = """
 WITH sig AS ({core}),
 bands AS (
