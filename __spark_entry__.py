@@ -1514,6 +1514,70 @@ WHERE e.vec_id NOT IN (SELECT vec_id FROM retired)
 )
 
 
+def q_semdedup_two_level_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical SemDeDup assignment (VERDICT r4 item 3), exercised
+    on the FORCED two-level path with a battery-pinned C=32 (S=⌈√32⌉=6
+    super-seeds): supers are the first S seeds in md5 order, each seed
+    argmax-joins a super group (supers pinned to their own group), and
+    a vector argmaxes over supers then only its super-cell's seeds —
+    2√C cosines per row instead of C, seed payload broadcast per
+    executor rather than shipped per task, and still zero joins / zero
+    vector shuffles in the plan (test_two_level_assignment pins the
+    no-Exchange property and the auto-engage threshold). The DuckDB
+    oracle replays the full two-level rule in SQL — seed ranking,
+    seed→super argmax, both vector argmaxes — element-for-element."""
+    from onnxocr_spark.operators.similarity import seed_cells
+
+    _register(spark, sf_dir)
+    return seed_cells(
+        spark.table("embeddings"), 32, two_level=True
+    ).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("cell").cast("bigint").alias("cell"),
+    )
+
+
+_TWO_LEVEL_CELLS_DUCK = """
+WITH ranked AS (
+  SELECT vec_id, embedding,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS rn
+  FROM embeddings),
+seeds AS (SELECT vec_id AS seed_id, embedding AS se, rn
+          FROM ranked WHERE rn <= 32),
+supers AS (SELECT seed_id AS super_id, se AS ue FROM seeds WHERE rn <= 6),
+seed_assign AS (
+  SELECT s.seed_id, s.se, u.super_id,
+         ROW_NUMBER() OVER (PARTITION BY s.seed_id
+             ORDER BY list_cosine_similarity(s.se::DOUBLE[],
+                                             u.ue::DOUBLE[]) DESC,
+                      u.super_id) AS rk
+  FROM seeds s CROSS JOIN supers u),
+seed_group AS (
+  SELECT seed_id, se,
+         CASE WHEN seed_id IN (SELECT super_id FROM supers)
+              THEN seed_id ELSE super_id END AS super_id
+  FROM seed_assign WHERE rk = 1),
+vec_super AS (
+  SELECT e.vec_id, e.embedding, u.super_id,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                             u.ue::DOUBLE[]) DESC,
+                      u.super_id) AS rk
+  FROM embeddings e CROSS JOIN supers u),
+vs AS (SELECT vec_id, embedding, super_id FROM vec_super WHERE rk = 1),
+final AS (
+  SELECT v.vec_id, g.seed_id,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(v.embedding::DOUBLE[],
+                                             g.se::DOUBLE[]) DESC,
+                      g.seed_id) AS rk
+  FROM vs v JOIN seed_group g ON g.super_id = v.super_id)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(seed_id AS BIGINT) AS cell
+FROM final WHERE rk = 1
+"""
+
+
 # Context-window chunking (r4): training pipelines pack documents into
 # fixed token windows before tokenization/batching — 64-token chunks at
 # stride 48 (16-token overlap), one row per (doc, window) with the
@@ -2322,7 +2386,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_pages_text": q_pdf_pages_text,
         "annotated_boxes_count": q_annotated_boxes_count,
         # relational skeleton
-        "ctc_dedupe_analog": _sqlq(_CTC_SPARK),
         # training-data pipeline ops
         "pii_stats": _sqlq(_PII_STATS_SPARK),
         "pii_scrub": _sqlq(_PII_SCRUB_SPARK),
@@ -2343,6 +2406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine_bucketed": q_dedup_embedding_cosine_bucketed,
         "dedup_semantic_keepers": q_dedup_semantic_keepers,
         "semantic_cleaned_corpus": q_semantic_cleaned_corpus,
+        "semdedup_two_level_cells": q_semdedup_two_level_cells,
         "html_main_content": q_html_main_content,
         "doc_fingerprint": _sqlq(_FINGERPRINT),
         "doc_rolling_hash": _sqlq(_ROLLHASH_SPARK),
@@ -2367,6 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessionization": _sqlq(_SESSIONS_SQL),
         # --- tail: outside the driver's 50-row window ---
         # long-stable (green driver rows in r1–r4, unchanged since)
+        "ctc_dedupe_analog": _sqlq(_CTC_SPARK),
         "restitch_docs": _sqlq(_RESTITCH_SPARK),
         "boxes_texts_zip": _sqlq(_ZIP_JOIN),
         "max_candidates_limit": _sqlq(_MAX_CAND),
@@ -2458,4 +2523,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine_bucketed": _EMB_COS_BUCKETED_DUCK,
         "dedup_semantic_keepers": _SEMANTIC_KEEPERS_DUCK,
         "semantic_cleaned_corpus": _SEMANTIC_CLEANED_DUCK,
+        "semdedup_two_level_cells": _TWO_LEVEL_CELLS_DUCK,
     }
