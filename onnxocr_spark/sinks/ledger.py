@@ -178,7 +178,21 @@ def compact_runs(
          its ledger lands it is itself orphan-committed);
       5. write the consolidated ledger.
     ``_trash`` is never read; prune it out-of-band once the compaction
-    is trusted."""
+    is trusted.
+
+    Dedup roots (jobs/dedup_job.py) additionally accrete ``retired/``
+    and ``sigindex/`` dirs per resume run; when present for the
+    compacted run ids these consolidate too, in the REVERSE order of
+    the data/ledger rule: merged dir first, sources to trash after.
+    Their consumers are duplicate-tolerant unions (the processed-id set
+    and the band-signature index both tolerate repeated rows / parallel
+    hub edges), while a gap would silently re-admit retired duplicates
+    or lose cross-run candidate signatures — so the overlap window is
+    the safe one here. sigindex re-aggregates to one global
+    (band, band_sig, min hub) row per signature; this is
+    decision-preserving for future resumes: an index match retires a
+    new doc regardless of WHICH processed doc the hub names, and an
+    all-new component has no index match by definition."""
     import shutil
 
     run_ids = sorted(run_ids if run_ids is not None
@@ -188,7 +202,15 @@ def compact_runs(
     compacted_id = compacted_id or f"compact_{run_ids[0]}_{run_ids[-1]}"
     src_dirs = [os.path.join(_data_path(root), f"run={r}") for r in run_ids]
     final_check = os.path.join(_data_path(root), f"run={compacted_id}")
-    if compacted_id in run_ids or os.path.exists(final_check):
+    aux_targets = [
+        os.path.join(root, layout, f"run={compacted_id}")
+        for layout in ("retired", "sigindex")
+    ]
+    if (
+        compacted_id in run_ids
+        or os.path.exists(final_check)
+        or any(os.path.exists(t) for t in aux_targets)
+    ):
         # failing BEFORE any mutation beats discovering the collision
         # at the atomic-publish rename, after source dirs moved
         raise ValueError(
@@ -226,10 +248,37 @@ def compact_runs(
         .select("doc_id").distinct()
         .write.mode("overwrite").parquet(ledger_dir)
     )
+    aux_compacted = {}
+    for layout in ("retired", "sigindex"):
+        path = os.path.join(root, layout)
+        dirs = [
+            os.path.join(path, f"run={r}")
+            for r in run_ids
+            if os.path.isdir(os.path.join(path, f"run={r}"))
+        ]
+        if not dirs:
+            continue
+        df = spark.read.parquet(*dirs)
+        if layout == "sigindex":
+            df = df.groupBy("band", "band_sig").agg(F.min("hub").alias("hub"))
+        else:
+            df = df.distinct()
+        aux_tmp = os.path.join(path, f"_compact_tmp_{compacted_id}")
+        df.write.mode("overwrite").parquet(aux_tmp)
+        # publish first, trash after: overlap is harmless (dup-tolerant
+        # unions), a gap is not (lost retired ids / signatures)
+        os.replace(aux_tmp, os.path.join(path, f"run={compacted_id}"))
+        aux_trash = os.path.join(trash, layout)
+        os.makedirs(aux_trash, exist_ok=True)
+        for d in dirs:
+            os.replace(d, os.path.join(aux_trash, os.path.basename(d)))
+        aux_compacted[layout] = len(dirs)
+
     return {
         "compacted_id": compacted_id,
         "source_runs": run_ids,
         "docs": n_src,
+        "aux_compacted": aux_compacted,
     }
 
 

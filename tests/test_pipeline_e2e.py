@@ -333,6 +333,62 @@ def test_dedup_job_incremental_resume(spark, tmp_path):
     assert side3["docs_in"] == 0 and side3["docs_kept"] == 0
 
 
+def test_compact_dedup_root_preserves_resume_decisions(spark, tmp_path):
+    """compact_runs on a dedup root (r5): the per-run retired/ and
+    sigindex/ dirs consolidate alongside data/ledger (sigindex
+    re-aggregated to global min-hub rows), and a subsequent --resume
+    makes EXACTLY the same decisions as on an uncompacted twin of the
+    root — the decision-preservation claim in the compaction
+    docstring, tested rather than asserted."""
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import dedup_job
+
+    from onnxocr_spark.sinks import compact_runs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    schema = "doc_id long, text string"
+    b1 = [(0, base), (1, base + " tailchange"), (2, "lone words here only")]
+    b2 = [(10, "second batch topic with different vocabulary"),
+          (11, "second batch topic with different vocabulary")]
+    b3 = [(20, base + " tailchange"),    # dup of batch1-RETIRED doc 1
+          (21, "second batch topic with different vocabulary"),  # dup of 10
+          (22, "genuinely novel third batch content entirely")]
+    src = {}
+    for name, rows in (("b1", b1), ("b2", b2), ("b3", b3)):
+        src[name] = str(tmp_path / name)
+        spark.createDataFrame(rows, schema).write.parquet(src[name])
+
+    root = str(tmp_path / "root")
+    assert dedup_job.main(["--input", src["b1"], "--output", root,
+                           "--policy", "cc", "--run-id", "r1"]) == 0
+    assert dedup_job.main(["--input", src["b2"], "--output", root,
+                           "--policy", "cc", "--run-id", "r2",
+                           "--resume"]) == 0
+    twin = str(tmp_path / "twin")
+    shutil.copytree(root, twin)
+
+    m = compact_runs(spark, root, compacted_id="c1")
+    assert m["aux_compacted"] == {"retired": 2, "sigindex": 2}
+    for layout in ("data", "ledger", "retired", "sigindex"):
+        assert os.listdir(f"{root}/{layout}") == ["run=c1"], layout
+    # sigindex is globally re-aggregated: one row per (band, band_sig)
+    sig = spark.read.parquet(f"{root}/sigindex/run=c1")
+    assert sig.count() == sig.select("band", "band_sig").distinct().count()
+
+    for r in (root, twin):
+        assert dedup_job.main(["--input", src["b3"], "--output", r,
+                               "--policy", "cc", "--run-id", "r3",
+                               "--resume"]) == 0
+    kept = {r.doc_id for r in spark.read.parquet(
+        f"{root}/data/run=r3").collect()}
+    kept_twin = {r.doc_id for r in spark.read.parquet(
+        f"{twin}/data/run=r3").collect()}
+    assert kept == kept_twin == {22}  # 20, 21 retired via the index
+
+
 def test_extreme_skew_single_doc_many_media(spark):
     """One document carrying 40 media spans (pathological skew): the
     round-robin balance must spread it and reassembly must restore the
