@@ -106,6 +106,10 @@ HEADLINE = [
     "quality_score",
     "token_count",
     "chunk_documents",
+    # r5 additions
+    "pii_scrub",
+    "dedup_incremental",
+    "semdedup_two_level_cells",
 ]
 # set =1 to skip the multi-JVM scaling section (quick query iteration)
 _SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"

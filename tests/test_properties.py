@@ -170,3 +170,46 @@ def test_pages_container_roundtrip_property(n_pages, seed):
     assert len(out) == n_pages
     for a, b in zip(pages, out):
         assert a.shape == b.shape and (a == b).all()
+
+
+@given(
+    boundary=st.text(alphabet="abcdefghij0123456789", min_size=1,
+                     max_size=12),
+    payloads=st.lists(
+        st.binary(min_size=0, max_size=64), min_size=1, max_size=4
+    ),
+    data=st.data(),
+)
+@settings(**SETTINGS)
+def test_multipart_roundtrip_any_payload(boundary, payloads, data):
+    """RFC 2046 framing property: ANY payload bytes — including bare
+    '--boundary' occurrences and stray CRLFs — roundtrip through
+    parse_multipart, except payloads containing the exact CRLF-anchored
+    delimiter, which the RFC itself makes unframeable (the generator-
+    side non-occurrence rule applies to that one sequence only)."""
+    from onnxocr_spark.operators.sources import parse_multipart
+
+    delim = b"\r\n--" + boundary.encode()
+    # keep only RFC-frameable payloads: the full anchored delimiter must
+    # not appear, and a payload may not END with a prefix of it that the
+    # next real delimiter would complete into a longer match
+    payloads = [
+        p for p in payloads
+        if delim not in p and not any(
+            p.endswith(delim[:k]) for k in range(1, len(delim))
+        )
+    ]
+    if not payloads:
+        payloads = [data.draw(st.just(b"safe body"))]
+    body = b""
+    for i, p in enumerate(payloads):
+        body += (
+            f"--{boundary}\r\nContent-Disposition: form-data; "
+            f'name="f{i}"; filename="file{i}.bin"\r\n\r\n'.encode()
+            + p + b"\r\n"
+        )
+    body += f"--{boundary}--\r\n".encode()
+    parts = parse_multipart(
+        body, f"multipart/form-data; boundary={boundary}"
+    )
+    assert [(f"file{i}.bin", p) for i, p in enumerate(payloads)] == parts
