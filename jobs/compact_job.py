@@ -7,7 +7,10 @@
 Collapses many committed extraction-run dirs into one consolidated run
 (sinks.ledger.compact_runs — the Iceberg snapshot-compaction analog):
 resume listings and output scans drop from O(#runs) paths to O(1) for
-the compacted history. Single-writer: do not race an extraction run on
+the compacted history. Dedup roots (jobs/dedup_job.py) consolidate
+their retired/ and sigindex/ layouts in the same pass, so incremental
+--resume runs keep reading O(1) index dirs however many batches have
+committed. Single-writer: do not race an extraction or dedup run on
 the same root. Crash-safety contract and step ordering are documented
 on compact_runs itself.
 """

@@ -170,14 +170,33 @@ def incremental_corpus(docs, output_root: str):
     )
 
     spark = docs.sparkSession
-    sig_dirs = sorted(glob.glob(os.path.join(output_root, "sigindex", "run=*")))
+    # A dedup run's COMMIT MARKER is its sigindex dir (written last,
+    # _SUCCESS-complete): counting a mid-crash run's docs as processed
+    # while its signatures are missing would let future duplicates of
+    # them through silently, so a run contributes its ledger/retired
+    # ids AND its index only when fully committed — a crashed run
+    # contributes nothing and must be re-submitted under the SAME
+    # run-id (the job's idempotent-overwrite contract), which also
+    # replaces its orphan data dir.
+    def _committed(layout: str) -> list[str]:
+        return sorted(
+            d for d in glob.glob(
+                os.path.join(output_root, layout, "run=*")
+            )
+            if os.path.exists(os.path.join(d, "_SUCCESS"))
+        )
+
+    sig_dirs = _committed("sigindex")
     if not sig_dirs:
         raise SystemExit(
-            "--resume: no sigindex under the output root; run an initial "
-            "cc dedup (without --resume) first"
+            "--resume: no committed sigindex under the output root; run "
+            "an initial cc dedup (without --resume) first"
         )
-    led_dirs = sorted(glob.glob(os.path.join(output_root, "ledger", "run=*")))
-    ret_dirs = sorted(glob.glob(os.path.join(output_root, "retired", "run=*")))
+    committed_runs = {os.path.basename(d) for d in sig_dirs}
+    led_dirs = [d for d in _committed("ledger")
+                if os.path.basename(d) in committed_runs]
+    ret_dirs = [d for d in _committed("retired")
+                if os.path.basename(d) in committed_runs]
     processed = (
         spark.read.parquet(*led_dirs).select("doc_id")
         .unionByName(spark.read.parquet(*ret_dirs).select("doc_id"))

@@ -333,6 +333,51 @@ def test_dedup_job_incremental_resume(spark, tmp_path):
     assert side3["docs_in"] == 0 and side3["docs_kept"] == 0
 
 
+def test_dedup_resume_ignores_mid_crash_runs(spark, tmp_path):
+    """A dedup run's commit marker is its sigindex dir (written last):
+    a run that crashed after its ledger/retired writes but before the
+    sigindex must contribute NOTHING to a later resume — neither
+    processed ids (else its docs are skipped while their signatures
+    are lost, silently re-admitting future duplicates) nor index rows.
+    Its docs get fully re-decided by the next resume."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import shutil
+
+    import dedup_job
+
+    schema = "doc_id long, text string"
+    b1 = [(0, "alpha beta gamma delta epsilon zeta"), (1, "other words")]
+    b2 = [(10, "second batch sentence with its own tokens"),
+          (11, "second batch sentence with its own tokens")]
+    src1, src2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    spark.createDataFrame(b1, schema).write.parquet(src1)
+    spark.createDataFrame(b2, schema).write.parquet(src2)
+    root = str(tmp_path / "root")
+    assert dedup_job.main(["--input", src1, "--output", root,
+                           "--policy", "cc", "--run-id", "r1"]) == 0
+    assert dedup_job.main(["--input", src2, "--output", root,
+                           "--policy", "cc", "--run-id", "r2",
+                           "--resume"]) == 0
+    # simulate the crash window: r2's sigindex never landed
+    shutil.rmtree(f"{root}/sigindex/run=r2")
+
+    # re-submitting batch2 under a NEW id must re-decide ALL its docs
+    # (r2's ledger/retired are ignored without the commit marker)
+    assert dedup_job.main(["--input", src2, "--output", root,
+                           "--policy", "cc", "--run-id", "r3",
+                           "--resume"]) == 0
+    kept3 = {r.doc_id for r in spark.read.parquet(
+        f"{root}/data/run=r3").collect()}
+    retired3 = {r.doc_id for r in spark.read.parquet(
+        f"{root}/retired/run=r3").collect()}
+    assert kept3 | retired3 == {10, 11}
+    assert kept3 == {10} and retired3 == {11}
+    # and r3's commit is complete: its sigindex exists for future runs
+    assert os.path.exists(f"{root}/sigindex/run=r3/_SUCCESS")
+
+
 def test_compact_dedup_root_preserves_resume_decisions(spark, tmp_path):
     """compact_runs on a dedup root (r5): the per-run retired/ and
     sigindex/ dirs consolidate alongside data/ledger (sigindex
