@@ -1578,6 +1578,127 @@ FROM final WHERE rk = 1
 """
 
 
+def q_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup (r5 — the embedding-family twin of
+    dedup_incremental): the committed batch (vec_id below the
+    data-derived midpoint) contributes its SEEDS (the persisted cell
+    index — adaptive ⌈√|batch1|⌉ md5-smallest of batch1) and its
+    vectors as comparison targets; a new batch is assigned into the
+    committed cells (seed_cells(seed_from=batch1) — seeds are NOT
+    re-derived over the full corpus, which would re-cell every
+    committed doc) and decided by a committed-wins CC over new-new
+    within-cell pairs plus new-old bipartite within-cell pairs at the
+    SemDeDup 0.45 threshold. New-old pairs run against ALL committed
+    docs, kept or retired — mirroring the minhash-index lesson that
+    keepers-only misses transitive duplicates — which is also why the
+    committed batch's own keeper derivation never enters the decision:
+    ANY committed contact retires a new doc. Incremental cost is
+    |new|·|old|/C cross work instead of the committed corpus's
+    (|old|²/C) rescan. The DuckDB oracle replays the identical rule
+    (seed ranking over batch1, full-table argmax assignment, both pair
+    scans, recursive closure with negative committed vertices)."""
+    from onnxocr_spark.operators.dedup import connected_component_keepers
+    from onnxocr_spark.operators.similarity import (
+        adaptive_n_cells, cosine_pairs_bipartite, cosine_pairs_blocked,
+        seed_cells,
+    )
+
+    _register(spark, sf_dir)
+    split = (
+        "(SELECT CAST(FLOOR((MAX(vec_id) + 1) / 2.0) AS BIGINT) "
+        "FROM embeddings)"
+    )
+    old = spark.sql(
+        f"SELECT vec_id, embedding FROM embeddings WHERE vec_id < {split}"
+    )
+    new = spark.sql(
+        f"SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {split}"
+    )
+    n_old = old.count()
+    n_new = new.count()
+    c1 = adaptive_n_cells(n_old)
+    cells_old = seed_cells(old, c1)
+    cells_new = seed_cells(new, c1, seed_from=old)
+    nn = cosine_pairs_blocked(
+        cells_new, 0.45, cell_col="cell", cells_hint=c1, n_rows=n_new,
+    )
+    no = cosine_pairs_bipartite(
+        cells_new, cells_old, 0.45, cell_col="cell", cells_hint=c1,
+        b_rows=n_old,
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        (-F.col("id_b") - F.lit(1)).cast("bigint").alias("doc_b"),
+    )
+    edges = nn.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    ).unionByName(no)
+    labels = connected_component_keepers(edges)
+    return new.select("vec_id").join(
+        labels.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left"
+    ).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        (
+            F.col("keeper").isNull() | (F.col("keeper") == F.col("vec_id"))
+        ).cast("int").alias("kept"),
+    )
+
+
+_SEMANTIC_INCREMENTAL_DUCK = """
+WITH RECURSIVE
+split AS (SELECT CAST(FLOOR((MAX(vec_id) + 1) / 2.0) AS BIGINT) AS s
+          FROM embeddings),
+old AS (SELECT e.vec_id, e.embedding FROM embeddings e, split
+        WHERE e.vec_id < split.s),
+newb AS (SELECT e.vec_id, e.embedding FROM embeddings e, split
+         WHERE e.vec_id >= split.s),
+nc AS (SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS c
+       FROM old),
+ranked AS (
+  SELECT vec_id, embedding,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS rn
+  FROM old),
+seeds AS (SELECT r.vec_id AS seed_id, r.embedding AS se
+          FROM ranked r, nc WHERE r.rn <= nc.c),
+assigned AS (
+  SELECT e.vec_id, e.embedding, s.seed_id,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                            s.se::DOUBLE[]) DESC, s.seed_id)
+           AS rn
+  FROM embeddings e CROSS JOIN seeds s),
+cells AS (SELECT vec_id, embedding, seed_id AS cell
+          FROM assigned WHERE rn = 1),
+newcells AS (SELECT c.* FROM cells c, split WHERE c.vec_id >= split.s),
+oldcells AS (SELECT c.* FROM cells c, split WHERE c.vec_id < split.s),
+nn AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM newcells a JOIN newcells b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+   AND list_cosine_similarity(a.embedding::DOUBLE[],
+                              b.embedding::DOUBLE[]) >= 0.45),
+no AS (
+  SELECT a.vec_id AS ia, -(b.vec_id) - 1 AS ib
+  FROM newcells a JOIN oldcells b
+    ON a.cell = b.cell
+   AND list_cosine_similarity(a.embedding::DOUBLE[],
+                              b.embedding::DOUBLE[]) >= 0.45),
+edges AS (SELECT ia AS a, ib AS b FROM nn
+          UNION ALL SELECT ib, ia FROM nn
+          UNION ALL SELECT ia, ib FROM no
+          UNION ALL SELECT ib, ia FROM no),
+reach(v, l) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.v
+),
+retired AS (SELECT v FROM reach GROUP BY v HAVING v <> MIN(l))
+SELECT CAST(n.vec_id AS BIGINT) AS vec_id,
+       CAST(n.vec_id NOT IN (SELECT v FROM retired) AS INT) AS kept
+FROM newb n
+"""
+
+
 # Context-window chunking (r4): training pipelines pack documents into
 # fixed token windows before tokenization/batching — 64-token chunks at
 # stride 48 (16-token overlap), one row per (doc, window) with the
@@ -2382,7 +2503,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_media_text": q_ocr_media_text,
         "ocr_boxes_texts": q_ocr_boxes_texts,
         "ocr_metrics": q_ocr_metrics,
-        "ocr_media_structure_split": q_ocr_media_structure_split,
         "pdf_pages_text": q_pdf_pages_text,
         "annotated_boxes_count": q_annotated_boxes_count,
         # relational skeleton
@@ -2407,6 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_keepers": q_dedup_semantic_keepers,
         "semantic_cleaned_corpus": q_semantic_cleaned_corpus,
         "semdedup_two_level_cells": q_semdedup_two_level_cells,
+        "semantic_incremental": q_semantic_incremental,
         "html_main_content": q_html_main_content,
         "doc_fingerprint": _sqlq(_FINGERPRINT),
         "doc_rolling_hash": _sqlq(_ROLLHASH_SPARK),
@@ -2431,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessionization": _sqlq(_SESSIONS_SQL),
         # --- tail: outside the driver's 50-row window ---
         # long-stable (green driver rows in r1–r4, unchanged since)
+        "ocr_media_structure_split": q_ocr_media_structure_split,
         "ctc_dedupe_analog": _sqlq(_CTC_SPARK),
         "restitch_docs": _sqlq(_RESTITCH_SPARK),
         "boxes_texts_zip": _sqlq(_ZIP_JOIN),
@@ -2524,4 +2646,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic_keepers": _SEMANTIC_KEEPERS_DUCK,
         "semantic_cleaned_corpus": _SEMANTIC_CLEANED_DUCK,
         "semdedup_two_level_cells": _TWO_LEVEL_CELLS_DUCK,
+        "semantic_incremental": _SEMANTIC_INCREMENTAL_DUCK,
     }

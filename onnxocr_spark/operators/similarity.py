@@ -247,6 +247,7 @@ def seed_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     two_level: bool | None = None,
+    seed_from: DataFrame | None = None,
 ) -> DataFrame:
     """(id, vec, cell): coarse semantic cells for cluster-first SemDeDup,
     SQL-reproducible by construction.
@@ -290,10 +291,17 @@ def seed_cells(
     argmax, and the two vector argmaxes in DuckDB and must match
     element-for-element. Still NO join and NO vector shuffle — the plan
     is identical to the flat path's.
+
+    ``seed_from`` (r5): sample the seeds from a DIFFERENT DataFrame
+    than the one being assigned — the incremental-SemDeDup shape, where
+    a committed batch's seeds are the persisted cell index and a new
+    batch is assigned into the committed cells without re-deriving
+    seeds over the whole corpus (re-derived seeds would re-cell every
+    committed doc — a full re-run by another name).
     """
     spark = emb.sparkSession
     rows = (
-        emb.select(
+        (seed_from if seed_from is not None else emb).select(
             F.col(id_col).alias("seed_id"),
             F.col(vec_col).alias("se"),
             F.md5(F.col(id_col).cast("string")).alias("_h"),
@@ -486,6 +494,72 @@ def cosine_pairs_blocked(
 
     return (
         left.unionByName(right)
+        .groupBy(*keys)
+        .applyInPandas(block_fn, "id_a long, id_b long")
+    )
+
+
+def cosine_pairs_bipartite(
+    a: DataFrame,
+    b: DataFrame,
+    threshold: float = 0.45,
+    block_rows: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str | None = None,
+    cells_hint: int = 1,
+    b_rows: int | None = None,
+) -> DataFrame:
+    """Thresholded A×B cosine pairs (directed: id_a from A, id_b from
+    B) — the CROSS-BATCH stage of incremental SemDeDup, where A is a
+    small new batch and B the committed corpus. B partitions into
+    G = ceil(|B| / (block_rows·cells_hint)) blocks by id; every A row
+    fans out once per B block (per cell when bucketed), each group is
+    one float64 GEMM. Shuffle volume is O(|A|·G + |B|) small rows — the
+    bipartite analog of cosine_pairs_blocked's movement bound; compute
+    is the inherent |A|·|B| (per cell), which is the point of the
+    incremental formulation: |A|·|B|/C per cell instead of re-running
+    the committed corpus's (|B|²/C) scan. Same equi-join shape — no
+    CartesianProduct / BNLJ node; A and B must have disjoint id spaces
+    (asserted by the id_a≠id_b emit guard only, callers own the split).
+    """
+    nb = b.count() if b_rows is None else b_rows
+    g = max(1, -(-nb // (block_rows * cells_hint)))
+    keys = ([cell_col] if cell_col else []) + ["gb"]
+    bb = b.select(
+        *([cell_col] if cell_col else []),
+        F.pmod(F.col(id_col), F.lit(g)).cast("int").alias("gb"),
+        F.lit(1).alias("side"),
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+    )
+    aa = a.select(
+        *([cell_col] if cell_col else []),
+        F.explode(F.sequence(F.lit(0), F.lit(g - 1))).alias("gb"),
+        F.lit(0).alias("side"),
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+    )
+
+    def block_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        qa = pdf[pdf["side"] == 0]
+        qb = pdf[pdf["side"] == 1]
+        if len(qa) == 0 or len(qb) == 0:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        ma = np.stack(qa["vec"].to_numpy()).astype(np.float64)
+        ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+        mb = np.stack(qb["vec"].to_numpy()).astype(np.float64)
+        mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+        ii, jj = np.nonzero(ma @ mb.T >= threshold)
+        ids_a = qa["vid"].to_numpy()[ii]
+        ids_b = qb["vid"].to_numpy()[jj]
+        keep = ids_a != ids_b
+        return pd.DataFrame({"id_a": ids_a[keep].astype("int64"),
+                             "id_b": ids_b[keep].astype("int64")})
+
+    return (
+        aa.unionByName(bb)
         .groupBy(*keys)
         .applyInPandas(block_fn, "id_a long, id_b long")
     )

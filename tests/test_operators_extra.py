@@ -749,6 +749,25 @@ def test_embedding_oracle_float_margins():
         assert argmax_margin > 1e-6, (sf, argmax_margin)
         assert m25 > 1e-12 and m45 > 1e-12, (sf, m25, m45)
 
+        # r5 semantic_incremental: the full table argmax-assigns to
+        # BATCH1-derived seeds (md5-smallest of vec_id < midpoint,
+        # adaptive count over batch1) — a different comparison set, so
+        # its decision margins need their own pin. The 0.45 pair
+        # threshold margins are a subset of `vals` above.
+        s = (int(ids.max()) + 1) // 2
+        old_pos = [k for k in range(len(ids)) if ids[k] < s]
+        order1 = sorted(
+            old_pos,
+            key=lambda k: (hashlib.md5(str(ids[k]).encode()).hexdigest(),
+                           ids[k]),
+        )
+        seeds1 = norm[sorted(order1[: adaptive_n_cells(len(old_pos))],
+                             key=lambda k: ids[k])]
+        cos1 = norm @ seeds1.T
+        top2b = np.sort(cos1, axis=1)[:, -2:]
+        m_inc = float((top2b[:, 1] - top2b[:, 0]).min())
+        assert m_inc > 1e-6, (sf, m_inc)
+
 
 def _two_level_reference(ids, mat, n_cells):
     """Independent numpy re-derivation of the two-level seed_cells rule
@@ -869,6 +888,43 @@ def test_two_level_assignment(spark):
             members = np.where(grp == gi)[0]
             if len(members) >= 2:
                 assert min_margin(vn[g == gi] @ sn[members].T) > 1e-6, sf
+
+
+def test_bucketed_pairs_consistent_under_two_level_cells(spark):
+    """cosine_pairs_bucketed auto-transitions to two-level assignment
+    past TWO_LEVEL_CELLS_THRESHOLD (seed_cells two_level=None). The
+    pair scan must behave identically under either assignment given the
+    same cells — and with two-level FORCED at the battery C the emitted
+    pairs are exactly the within-cell ≥t pairs of the two-level cells
+    (cross-checked in numpy), i.e. the integration point changes WHICH
+    cells, never the pair semantics."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from onnxocr_spark.operators.similarity import (
+        cosine_pairs_blocked, seed_cells,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cells = seed_cells(emb, 32, two_level=True)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs_blocked(
+            cells, 0.45, 64, cell_col="cell", cells_hint=32
+        ).select("id_a", "id_b").collect()
+    }
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    ref_cells = _two_level_reference(ids, mat, 32)
+    vn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sim = vn @ vn.T
+    expect = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids)) for j in range(i + 1, len(ids))
+        if ref_cells[i] == ref_cells[j] and sim[i, j] >= 0.45
+    }
+    assert pairs == expect and expect  # non-vacuous
 
 
 def test_ann_recall_gates_vs_brute_force(spark):
