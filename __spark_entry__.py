@@ -1597,10 +1597,8 @@ def q_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|old|²/C) rescan. The DuckDB oracle replays the identical rule
     (seed ranking over batch1, full-table argmax assignment, both pair
     scans, recursive closure with negative committed vertices)."""
-    from onnxocr_spark.operators.dedup import connected_component_keepers
     from onnxocr_spark.operators.similarity import (
-        adaptive_n_cells, cosine_pairs_bipartite, cosine_pairs_blocked,
-        seed_cells,
+        adaptive_n_cells, incremental_semantic_decisions, seed_cells,
     )
 
     _register(spark, sf_dir)
@@ -1619,27 +1617,12 @@ def q_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = adaptive_n_cells(n_old)
     cells_old = seed_cells(old, c1)
     cells_new = seed_cells(new, c1, seed_from=old)
-    nn = cosine_pairs_blocked(
-        cells_new, 0.45, cell_col="cell", cells_hint=c1, n_rows=n_new,
-    )
-    no = cosine_pairs_bipartite(
-        cells_new, cells_old, 0.45, cell_col="cell", cells_hint=c1,
-        b_rows=n_old,
-    ).select(
-        F.col("id_a").alias("doc_a"),
-        (-F.col("id_b") - F.lit(1)).cast("bigint").alias("doc_b"),
-    )
-    edges = nn.select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
-    ).unionByName(no)
-    labels = connected_component_keepers(edges)
-    return new.select("vec_id").join(
-        labels.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left"
+    return incremental_semantic_decisions(
+        cells_new, cells_old, 0.45, cells_hint=c1,
+        n_new=n_new, n_old=n_old,
     ).select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
-        (
-            F.col("keeper").isNull() | (F.col("keeper") == F.col("vec_id"))
-        ).cast("int").alias("kept"),
+        F.col("kept").cast("int").alias("kept"),
     )
 
 

@@ -565,6 +565,56 @@ def cosine_pairs_bipartite(
     )
 
 
+def incremental_semantic_decisions(
+    new_cells: DataFrame,
+    old_cells: DataFrame,
+    threshold: float = 0.45,
+    cells_hint: int = 1,
+    block_rows: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_new: int | None = None,
+    n_old: int | None = None,
+) -> DataFrame:
+    """(id, kept) for a NEW batch of cell-assigned vectors against a
+    committed batch's cell-assigned vectors — the single source of the
+    incremental-SemDeDup decision rule, shared by the battery query
+    (q_semantic_incremental, whose DuckDB oracle replays it) and
+    jobs/semantic_dedup_job.py. Inputs carry (id, vec, cell) with cells
+    assigned against the COMMITTED batch's seeds (seed_cells seed_from).
+    Edges: new-new within-cell pairs (cosine_pairs_blocked) plus
+    new-old bipartite within-cell pairs (cosine_pairs_bipartite)
+    against ALL committed vectors — kept or retired, the transitive-dup
+    lesson — with committed vertices negated so min-label CC is
+    committed-wins under any id assignment. A new vector is kept iff
+    its component keeper is itself (absent from the graph ⇒ kept)."""
+    from onnxocr_spark.operators.dedup import connected_component_keepers
+
+    nn = cosine_pairs_blocked(
+        new_cells, threshold, block_rows, id_col, vec_col,
+        cell_col="cell", cells_hint=cells_hint, n_rows=n_new,
+    )
+    no = cosine_pairs_bipartite(
+        new_cells, old_cells, threshold, block_rows, id_col, vec_col,
+        cell_col="cell", cells_hint=cells_hint, b_rows=n_old,
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        (-F.col("id_b") - F.lit(1)).cast("bigint").alias("doc_b"),
+    )
+    edges = nn.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    ).unionByName(no)
+    labels = connected_component_keepers(edges)
+    return new_cells.select(F.col(id_col)).join(
+        labels.withColumnRenamed("doc_id", id_col), id_col, "left"
+    ).select(
+        id_col,
+        (
+            F.col("keeper").isNull() | (F.col("keeper") == F.col(id_col))
+        ).alias("kept"),
+    )
+
+
 def _pq_codebooks(
     emb: DataFrame,
     n_subspaces: int,

@@ -180,9 +180,10 @@ def compact_runs(
     ``_trash`` is never read; prune it out-of-band once the compaction
     is trusted.
 
-    Dedup roots (jobs/dedup_job.py) additionally accrete ``retired/``
-    and ``sigindex/`` dirs per resume run; when present for the
-    compacted run ids these consolidate too, in the REVERSE order of
+    Dedup roots (jobs/dedup_job.py, jobs/semantic_dedup_job.py)
+    additionally accrete ``retired/``, ``sigindex/`` and ``cellindex/``
+    dirs per run; when present for the compacted run ids these
+    consolidate too, in the REVERSE order of
     the data/ledger rule: merged dir first, sources to trash after.
     Their consumers are duplicate-tolerant unions (the processed-id set
     and the band-signature index both tolerate repeated rows / parallel
@@ -204,7 +205,7 @@ def compact_runs(
     final_check = os.path.join(_data_path(root), f"run={compacted_id}")
     aux_targets = [
         os.path.join(root, layout, f"run={compacted_id}")
-        for layout in ("retired", "sigindex")
+        for layout in ("retired", "sigindex", "cellindex")
     ]
     if (
         compacted_id in run_ids
@@ -243,13 +244,18 @@ def compact_runs(
     os.replace(tmp_dir, final_dir)
 
     ledger_dir = os.path.join(_ledger_path(root), f"run={compacted_id}")
+    final_df = spark.read.parquet(final_dir)
+    # extraction roots ledger doc_id; the semantic dedup root's id
+    # column is vec_id — pick whichever the data carries
+    id_col = "doc_id" if "doc_id" in final_df.columns else "vec_id"
     (
-        spark.read.parquet(final_dir)
-        .select("doc_id").distinct()
+        final_df.select(id_col).distinct()
         .write.mode("overwrite").parquet(ledger_dir)
     )
     aux_compacted = {}
-    for layout in ("retired", "sigindex"):
+    # cellindex: the semantic job's founding seed vectors — must follow
+    # the compacted run id or a post-compaction resume loses its index
+    for layout in ("retired", "sigindex", "cellindex"):
         path = os.path.join(root, layout)
         dirs = [
             os.path.join(path, f"run={r}")

@@ -434,6 +434,91 @@ def test_compact_dedup_root_preserves_resume_decisions(spark, tmp_path):
     assert kept == kept_twin == {22}  # 20, 21 retired via the index
 
 
+def test_semantic_dedup_job_initial_resume_compact(spark, tmp_path):
+    """jobs/semantic_dedup_job.py end-to-end (r5): the founding run
+    commits kept/retired vectors + the cell index, --resume decides a
+    new batch against the index and ALL committed vectors (a dup of a
+    RETIRED vector retires too), already-committed ids are skipped,
+    ledger-last is the commit marker (a run without it contributes
+    nothing), and compaction carries the cellindex so a post-compaction
+    resume still works. Exact-duplicate fixtures make cell co-location
+    deterministic under any seed set (ties go to the smaller seed)."""
+    import json
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import semantic_dedup_job
+
+    from onnxocr_spark.sinks import compact_runs
+
+    A = [1.0, 0.0, 0.0, 0.0]
+    B = [0.0, 1.0, 0.0, 0.0]
+    C = [0.0, 0.0, 1.0, 0.0]
+    D = [0.0, 0.0, 0.0, 1.0]
+    schema = "vec_id long, embedding array<double>"
+    b1 = [(0, A), (1, A), (2, B), (3, C)]          # 1 dups 0 → retired
+    b2 = [(2, B),                                   # resubmitted: skip
+          (10, A),                                  # dup of RETIRED 1 (and 0)
+          (11, B),                                  # dup of kept 2
+          (12, D), (13, D)]                         # new pair: keep 12
+    b3 = [(20, D),                                  # dup of kept-in-r2 12
+          (21, [0.5, 0.5, 0.5, 0.5])]               # cos 0.5 vs each axis!
+    # 21 has cosine 0.5 ≥ 0.45 with every axis vector — it must be
+    # RETIRED via contact with committed vectors, proving the threshold
+    # (not just exact dups) drives cross-run decisions.
+    src = {}
+    for name, rows in (("b1", b1), ("b2", b2), ("b3", b3)):
+        src[name] = str(tmp_path / name)
+        spark.createDataFrame(rows, schema).write.parquet(src[name])
+    root = str(tmp_path / "sem")
+
+    assert semantic_dedup_job.main(
+        ["--input", src["b1"], "--output", root, "--run-id", "r1",
+         "--n-cells", "2"]) == 0
+    kept1 = {r.vec_id for r in spark.read.parquet(
+        f"{root}/data/run=r1").collect()}
+    assert kept1 == {0, 2, 3}
+    assert spark.read.parquet(f"{root}/cellindex/run=r1").count() == 2
+
+    assert semantic_dedup_job.main(
+        ["--input", src["b2"], "--output", root, "--run-id", "r2",
+         "--resume"]) == 0
+    kept2 = {r.vec_id for r in spark.read.parquet(
+        f"{root}/data/run=r2").collect()}
+    retired2 = {r.vec_id for r in spark.read.parquet(
+        f"{root}/retired/run=r2").collect()}
+    assert kept2 | retired2 == {10, 11, 12, 13}  # 2 skipped
+    assert kept2 == {12} and retired2 == {10, 11, 13}
+    side = json.load(open(f"{root}/metrics/_sidecars/run_r2.json"))
+    assert side["docs_in"] == 4
+
+    # crash window: r2's ledger (commit marker) gone → batch2 re-decided
+    crash = str(tmp_path / "crash")
+    shutil.copytree(root, crash)
+    shutil.rmtree(f"{crash}/ledger/run=r2")
+    assert semantic_dedup_job.main(
+        ["--input", src["b2"], "--output", crash, "--run-id", "rX",
+         "--resume"]) == 0
+    keptX = {r.vec_id for r in spark.read.parquet(
+        f"{crash}/data/run=rX").collect()}
+    assert keptX == {12}
+
+    # compaction carries the cellindex; post-compaction resume works
+    m = compact_runs(spark, root, compacted_id="c1")
+    assert m["aux_compacted"]["cellindex"] == 1
+    assert os.listdir(f"{root}/cellindex") == ["run=c1"]
+    assert semantic_dedup_job.main(
+        ["--input", src["b3"], "--output", root, "--run-id", "r4",
+         "--resume"]) == 0
+    kept4 = {r.vec_id for r in spark.read.parquet(
+        f"{root}/data/run=r4").collect()}
+    assert kept4 == set()  # 20 dups committed 12; 21 cos-0.5 contact
+    retired4 = {r.vec_id for r in spark.read.parquet(
+        f"{root}/retired/run=r4").collect()}
+    assert retired4 == {20, 21}
+
+
 def test_extreme_skew_single_doc_many_media(spark):
     """One document carrying 40 media spans (pathological skew): the
     round-robin balance must spread it and reassembly must restore the
