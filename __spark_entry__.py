@@ -713,6 +713,89 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental ONLINE (greedy first-wins) dedup: a new doc survives iff
+# EVERY one of its band signatures is (a) absent from the committed
+# index and (b) first-emitted by it among the new batch. For monotone
+# ids this equals the full-corpus online rule exactly — a band emitted
+# by any committed doc has a committed first-emitter, and a band only
+# the new batch emits has the same min-new first on both sides — so
+# the oracle IS the full-corpus derivation. Band-less (<3-token) docs
+# are trivially kept via the left join's COALESCE.
+_INCREMENTAL_ONLINE_SPARK = """
+WITH idx AS (
+  SELECT band, band_sig FROM ({index})
+),
+newb AS (SELECT doc_id FROM ({new_src}) nsrc),
+nbands AS ({bands}),
+flags AS (
+  SELECT b.doc_id,
+         (i.band IS NULL
+          AND b.doc_id = MIN(b.doc_id)
+                OVER (PARTITION BY b.band, b.band_sig)) AS ok
+  FROM nbands b LEFT JOIN idx i
+    ON b.band = i.band AND b.band_sig = i.band_sig
+)
+SELECT n.doc_id,
+       CAST(COALESCE(ok_all, TRUE) AS INT) AS kept
+FROM newb n LEFT JOIN (
+  SELECT doc_id, bool_and(ok) AS ok_all FROM flags GROUP BY doc_id
+) f ON n.doc_id = f.doc_id
+"""
+
+_INCREMENTAL_ONLINE_DUCK = """
+WITH split AS (SELECT CAST(FLOOR((MAX(doc_id) + 1) / 2.0) AS BIGINT) AS s
+               FROM documents),
+sig AS ({minhash}),
+bands AS (
+  SELECT doc_id, CAST(FLOOR(seed / 4.0) AS BIGINT) AS band,
+         string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS band_sig
+  FROM sig GROUP BY doc_id, CAST(FLOOR(seed / 4.0) AS BIGINT)
+),
+firsts AS (
+  SELECT doc_id,
+         MIN(doc_id) OVER (PARTITION BY band, band_sig) AS first_doc
+  FROM bands
+),
+perdoc AS (
+  SELECT doc_id, bool_and(doc_id = first_doc) AS ok_all
+  FROM firsts GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(p.ok_all, TRUE) AS INT) AS kept
+FROM documents d
+JOIN split ON d.doc_id >= split.s
+LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+""".format(minhash=_MINHASH_DUCK.strip())
+
+
+def q_dedup_incremental_online(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy-policy twin of dedup_incremental (r5): new-batch keep
+    decisions from the committed band-signature index under the ONLINE
+    first-wins rule, oracle-proven equal to the full-corpus online
+    derivation (monotone ids). One index anti-lookup + one window —
+    no closure iteration; the policy the streaming near-dedup twin
+    applies across micro-batches."""
+    from onnxocr_spark.operators.dedup import BAND_INDEX_SQL, BANDS_SQL
+
+    _register(spark, sf_dir)
+    src = _docs_src(spark, sf_dir)
+    split = (
+        "(SELECT CAST(FLOOR((MAX(doc_id) + 1) / 2.0) AS BIGINT) "
+        "FROM documents)"
+    )
+    old_src = f"SELECT doc_id, text FROM ({src}) WHERE doc_id < {split}"
+    new_src = f"SELECT doc_id, text FROM ({src}) WHERE doc_id >= {split}"
+    sql = _INCREMENTAL_ONLINE_SPARK.format(
+        index=BAND_INDEX_SQL.format(docs_src=old_src).strip(),
+        bands=BANDS_SQL.format(docs_src=new_src).strip(),
+        new_src=new_src,
+    )
+    return spark.sql(sql).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("kept").cast("int").alias("kept"),
+    )
+
+
 _INCREMENTAL_DUCK = """
 WITH RECURSIVE pairs AS ({lsh}),
 edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -2487,12 +2570,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_boxes_texts": q_ocr_boxes_texts,
         "ocr_metrics": q_ocr_metrics,
         "pdf_pages_text": q_pdf_pages_text,
-        "annotated_boxes_count": q_annotated_boxes_count,
         # relational skeleton
         # training-data pipeline ops
         "pii_stats": _sqlq(_PII_STATS_SPARK),
         "pii_scrub": _sqlq(_PII_SCRUB_SPARK),
         "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_online": q_dedup_incremental_online,
         "dedup_exact": _sqlq(_DEDUP_EXACT_SPARK),
         "dedup_minhash_sig": _sqlq_fanout(_MINHASH_SPARK),
         "dedup_minhash_lsh_pairs": _sqlq_fanout(_LSH_SPARK),
@@ -2535,6 +2618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessionization": _sqlq(_SESSIONS_SQL),
         # --- tail: outside the driver's 50-row window ---
         # long-stable (green driver rows in r1–r4, unchanged since)
+        "annotated_boxes_count": q_annotated_boxes_count,
         "ocr_media_structure_split": q_ocr_media_structure_split,
         "ctc_dedupe_analog": _sqlq(_CTC_SPARK),
         "restitch_docs": _sqlq(_RESTITCH_SPARK),
@@ -2589,6 +2673,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_stats": _PII_STATS_DUCK,
         "pii_scrub": _PII_SCRUB_DUCK,
         "dedup_incremental": _INCREMENTAL_DUCK,
+        "dedup_incremental_online": _INCREMENTAL_ONLINE_DUCK,
         "dedup_exact": _DEDUP_EXACT_DUCK,
         "dedup_minhash_sig": _MINHASH_DUCK,
         "dedup_minhash_lsh_pairs": _LSH_DUCK,

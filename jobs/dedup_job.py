@@ -30,17 +30,20 @@ the extract job). At 10^12 docs the heavy lifting is the same plans the
 query battery pins: narrow shingle fan-out, map-side-combined minhash
 groupBy, banded equi-join / window, O(log diameter) pointer-jumping CC.
 
-``--resume`` (cc policy) makes ingest INCREMENTAL: every committed run
-persists a band-signature index ({root}/sigindex/run=<id>: one
+``--resume`` (cc or online policy) makes ingest INCREMENTAL: every
+committed near-dup run — cc and online alike — persists a
+band-signature index ({root}/sigindex/run=<id>: one
 (band, band_sig, hub=min doc) row per distinct signature, covering kept
 AND retired docs — matching only keepers would miss transitive
 duplicates of retired docs). A resumed run treats ``--input`` as the
 NEW batch only: docs already in any prior ledger or retired manifest
 are skipped (idempotent re-submission), the remainder are shingled,
 and their keep/retire decision comes from
-operators/dedup.incremental_new_doc_decisions — a CC closure over
-within-batch star edges plus (band, band_sig) index matches, with
-committed docs always winning. Prior batches are never re-read, let
+operators/dedup.incremental_new_doc_decisions (cc: a CC closure over
+within-batch star edges plus (band, band_sig) index matches, committed
+docs always winning) or the greedy first-wins rule (online: survive
+iff every band is index-absent and batch-first; oracle-proven equal to
+the full-corpus online rule). Prior batches are never re-read, let
 alone re-shingled: at 100 TB with daily ingest this is the difference
 between a 1%-of-corpus job and a full-corpus job every day. For
 monotone doc ids (append-only corpora) the cumulative kept set equals
@@ -78,7 +81,6 @@ def cleaned_corpus(docs, policy: str):
 
     from onnxocr_spark.operators.dedup import (
         BANDS_SQL,
-        ONLINE_BAND_KEEPERS_SQL,
         connected_component_keepers,
         star_edges_from_bands,
     )
@@ -115,7 +117,21 @@ def cleaned_corpus(docs, policy: str):
     src = f"SELECT doc_id, text FROM {view}"
 
     if policy == "online":
-        keep = spark.sql(ONLINE_BAND_KEEPERS_SQL.format(docs_src=src))
+        # same greedy rule as the battery-pinned ONLINE_BAND_KEEPERS_SQL
+        # (min window per band group + bool_and), expressed over a
+        # bands frame computed ONCE so the sigindex shares the shingle
+        # pass — online runs seed future --resume runs too (r5)
+        from pyspark.sql import Window
+
+        bands = spark.sql(BANDS_SQL.format(docs_src=src)).persist()
+        extra_cached.append(bands)
+        w = Window.partitionBy("band", "band_sig")
+        keep = (
+            bands.withColumn("first_doc", F.min("doc_id").over(w))
+            .groupBy("doc_id")
+            .agg(F.expr("bool_and(doc_id = first_doc)").alias("ok"))
+            .filter("ok").select("doc_id")
+        )
         # sub-shingle docs emit no bands and are trivially kept (the
         # battery query's output simply omits them; a JOB must not
         # retire them by omission)
@@ -123,11 +139,14 @@ def cleaned_corpus(docs, policy: str):
             F.size(F.split("text", " ")) < 3
         ).select("doc_id")
         keep = keep.unionByName(no_bands)
+        sigindex = bands.groupBy("band", "band_sig").agg(
+            F.min("doc_id").alias("hub")
+        )
         return (
             docs.join(keep, "doc_id"),
             docs.join(keep, "doc_id", "left_anti"),
             cleanup,
-            None,
+            sigindex,
         )
 
     # policy == "cc": bands (computed ONCE, cached — they feed both the
@@ -151,14 +170,22 @@ def cleaned_corpus(docs, policy: str):
     )
 
 
-def incremental_corpus(docs, output_root: str):
+def incremental_corpus(docs, output_root: str, policy: str = "cc"):
     """--resume: decide a NEW batch against prior runs' band-signature
     index. Returns (kept, retired, cleanup, sigindex, batch) where
     batch is the post-skip new input (for metrics) — otherwise the
     cleaned_corpus contract. ``docs`` is the new batch only; docs
     already in a prior ledger or retired manifest are dropped first
     (idempotent re-submission), and prior batches' TEXT is never
-    read — the only cross-run state is {root}/sigindex/run=*."""
+    read — the only cross-run state is {root}/sigindex/run=*.
+
+    ``policy='cc'`` closes star + index edges by connected components
+    (committed-wins; full-corpus-equivalent for monotone ids).
+    ``policy='online'`` applies the greedy first-wins rule: a new doc
+    survives iff every band signature is absent from the index AND
+    first-emitted by it within the batch — no iteration, one index
+    anti-lookup + one window; oracle-proven equal to the full-corpus
+    online rule (dedup_incremental_online)."""
     import glob
     import os
 
@@ -215,8 +242,40 @@ def incremental_corpus(docs, output_root: str):
         spark.catalog.dropTempView(view)
 
     index = spark.read.parquet(*sig_dirs)
-    dec = incremental_new_doc_decisions(docs.select("doc_id"), bands, index)
-    kept_ids = dec.filter("kept").select("doc_id")
+    if policy == "online":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_sig")
+        # per-run index rows may repeat a (band, band_sig) — the join
+        # fan-out duplicates flag rows with identical values, which the
+        # bool_and absorbs; no distinct needed
+        flagged = (
+            bands.join(
+                index.select("band", "band_sig")
+                .withColumn("_hit", F.lit(1)),
+                ["band", "band_sig"], "left",
+            )
+            .withColumn("first_new", F.min("doc_id").over(w))
+            .withColumn(
+                "ok",
+                F.col("_hit").isNull()
+                & (F.col("doc_id") == F.col("first_new")),
+            )
+        )
+        banded_keep = (
+            flagged.groupBy("doc_id")
+            .agg(F.expr("bool_and(ok)").alias("ok_all"))
+            .filter("ok_all").select("doc_id")
+        )
+        no_bands = docs.filter(
+            F.size(F.split("text", " ")) < 3
+        ).select("doc_id")
+        kept_ids = banded_keep.unionByName(no_bands)
+    else:
+        dec = incremental_new_doc_decisions(
+            docs.select("doc_id"), bands, index
+        )
+        kept_ids = dec.filter("kept").select("doc_id")
     sigindex = bands.groupBy("band", "band_sig").agg(
         F.min("doc_id").alias("hub")
     )
@@ -237,10 +296,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--run-id", default=None)
     p.add_argument("--resume", action="store_true",
                    help="treat --input as a NEW batch and dedup it "
-                        "against prior runs' sigindex (cc policy only)")
+                        "against prior runs' sigindex (cc/online)")
     args = p.parse_args(argv)
-    if args.resume and args.policy != "cc":
-        p.error("--resume requires --policy cc")
+    if args.resume and args.policy == "exact":
+        p.error("--resume supports --policy cc or online")
 
     import os
 
@@ -256,7 +315,7 @@ def main(argv: list[str] | None = None) -> int:
     docs = spark.read.parquet(args.input)
     if args.resume:
         kept, retired, cleanup, sigindex, docs = incremental_corpus(
-            docs, args.output
+            docs, args.output, args.policy
         )
     else:
         kept, retired, cleanup, sigindex = cleaned_corpus(docs, args.policy)

@@ -332,6 +332,23 @@ def test_dedup_job_incremental_resume(spark, tmp_path):
     side3 = json.load(open(f"{root}/metrics/_sidecars/run_r3.json"))
     assert side3["docs_in"] == 0 and side3["docs_kept"] == 0
 
+    # ONLINE policy resume (r5): greedy first-wins against the index.
+    # Run1 online on batch1 retires {2 (exact dup), 3 (shares a band)};
+    # batch2: 10/11 duplicate committed docs' bands → retired, 12 is
+    # batch-first → kept, 13 dups 12 → retired, 14 sub-shingle → kept.
+    oroot = str(tmp_path / "online_inc")
+    assert dedup_job.main(["--input", src1, "--output", oroot,
+                           "--policy", "online", "--run-id", "o1"]) == 0
+    assert os.path.exists(f"{oroot}/sigindex/run=o1/_SUCCESS")
+    assert dedup_job.main(["--input", src2, "--output", oroot,
+                           "--policy", "online", "--run-id", "o2",
+                           "--resume"]) == 0
+    kept_o = {r.doc_id for r in spark.read.parquet(
+        f"{oroot}/data/run=o2").collect()}
+    retired_o = {r.doc_id for r in spark.read.parquet(
+        f"{oroot}/retired/run=o2").collect()}
+    assert kept_o == {12, 14} and retired_o == {10, 11, 13}
+
 
 def test_dedup_resume_ignores_mid_crash_runs(spark, tmp_path):
     """A dedup run's commit marker is its sigindex dir (written last):
