@@ -109,7 +109,9 @@ HEADLINE = [
     # r5 additions
     "pii_scrub",
     "dedup_incremental",
+    "dedup_incremental_online",
     "semdedup_two_level_cells",
+    "semantic_incremental",
 ]
 # set =1 to skip the multi-JVM scaling section (quick query iteration)
 _SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"

@@ -166,7 +166,9 @@ def _row_band_sigs() -> "F.Column":
     ])
 
 
-def streaming_near_dedup(stream_docs: DataFrame) -> DataFrame:
+def streaming_near_dedup(
+    stream_docs: DataFrame, sigindex: DataFrame | None = None
+) -> DataFrame:
     """Custom stateful operator: cross-batch ONLINE near-dup over the
     streaming documents table — the streaming twin of the batch
     `dedup_online_band_keepers` query (greedy LSH-band policy: a doc
@@ -190,7 +192,19 @@ def streaming_near_dedup(stream_docs: DataFrame) -> DataFrame:
     At 10^12 docs: state is one counter per distinct (band, signature)
     — the same keyspace the batch groupBy shuffles, amortized
     incrementally; each doc contributes 4 narrow rows to the exchange.
-    """
+
+    ``sigindex`` (r5) bootstraps the stream from COMMITTED batch runs:
+    pass the union of a dedup root's sigindex/run=* tables
+    ((band, band_sig, hub) — the same index jobs/dedup_job.py --resume
+    consumes) and every signature in it counts as already-seen, so no
+    streamed doc can be first for it. The lookup is a STREAM-STATIC
+    left join (the idiomatic Spark shape — the static side is a
+    parquet-backed relation, no state blow-up, broadcast or
+    shuffle-hash per micro-batch as Catalyst prefers); the stateful
+    counter then starts at 1 for committed keys. This makes the stream
+    the continuation of the batch online policy: keepers ≡ what
+    `dedup_job.py --resume --policy online` would decide on the same
+    docs (pinned by test)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     bands = (
@@ -204,14 +218,37 @@ def streaming_near_dedup(stream_docs: DataFrame) -> DataFrame:
             "doc_id",
         )
     )
+    if sigindex is not None:
+        idx = (
+            sigindex.select(
+                F.concat_ws(
+                    "#", F.col("band").cast("string"), "band_sig"
+                ).alias("band_key")
+            )
+            # per-run index dirs may repeat a signature — collapse so
+            # the stream-static join cannot duplicate band rows
+            .dropDuplicates(["band_key"])
+            .withColumn("_committed", F.lit(True))
+        )
+        bands = bands.join(idx, "band_key", "left")
+    else:
+        bands = bands.withColumn("_committed", F.lit(False))
 
     def fn(key, pdfs, state):
         import pandas as pd
 
-        (seen,) = state.get if state.exists else (0,)
-        ids = sorted(int(d) for pdf in pdfs for d in pdf["doc_id"])
+        seen = state.get[0] if state.exists else None
+        ids = []
+        committed = False
+        for pdf in pdfs:
+            # .eq(True) treats the left-join's nulls as False without
+            # the deprecated fillna object-downcast
+            committed = committed or bool(pdf["_committed"].eq(True).any())
+            ids.extend(int(d) for d in pdf["doc_id"])
+        if seen is None:
+            seen = 1 if committed else 0
         rows = []
-        for did in ids:
+        for did in sorted(ids):
             rows.append((key[0], did, seen == 0))
             seen += 1
         state.update((seen,))

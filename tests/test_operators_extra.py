@@ -1277,6 +1277,88 @@ def test_streaming_near_dedup_matches_batch_online_policy(spark, tmp_path):
     assert 4 not in per_doc  # sub-shingle doc emits no bands
 
 
+def test_streaming_near_dedup_bootstraps_from_sigindex(spark, tmp_path):
+    """r5: streaming_near_dedup(sigindex=…) continues a committed batch
+    run — every committed band signature counts as already-seen via a
+    stream-static anti-lookup, so streamed duplicates of committed docs
+    (kept OR retired) are retired even though those docs never enter
+    the stream. Keeper set ≡ what `dedup_job --resume --policy online`
+    decides on the same new docs (banded part; sub-shingle docs emit
+    no band rows, as in the batch twin)."""
+    import os as _os
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "jobs"))
+    import dedup_job
+
+    from onnxocr_spark.streaming.extract import streaming_near_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    uniq1 = "totally different words compose this one stream here"
+    batch1 = [(0, base), (1, uniq1), (2, base),
+              (3, base + " tailchange"), (5, "another unrelated document "
+              "with its own tokens five six")]
+    b1 = str(tmp_path / "b1")
+    spark.createDataFrame(batch1, "doc_id long, text string").write.parquet(b1)
+    root = str(tmp_path / "root")
+    assert dedup_job.main(["--input", b1, "--output", root,
+                           "--policy", "online", "--run-id", "r1"]) == 0
+
+    files = [
+        [(10, base + " tailchange"),     # dups RETIRED doc 3's bands
+         (11, uniq1)],                   # dups kept doc 1's bands
+        [(12, "a wholly new topic covered by fresh vocabulary entirely"),
+         (13, "a wholly new topic covered by fresh vocabulary entirely"),
+         (14, "tiny doc")],              # sub-shingle
+    ]
+    src = str(tmp_path / "newdocs")
+    _os.makedirs(src)
+    for i, rows in enumerate(files):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            f"{src}/part-{i}.parquet"
+        )
+        _os.utime(f"{src}/part-{i}.parquet", (1000 * (i + 1), 1000 * (i + 1)))
+
+    sigindex = spark.read.parquet(f"{root}/sigindex/run=r1")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_near_dedup(stream, sigindex=sigindex)
+        .writeStream.format("memory")
+        .queryName("neardedupboot")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckptb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    per_doc = {}
+    for r in spark.sql("SELECT * FROM neardedupboot").collect():
+        per_doc.setdefault(r.doc_id, []).append(r.is_first)
+    stream_keepers = {d for d, v in per_doc.items() if all(v) and len(v) == 4}
+
+    # batch-resume twin on the same new docs
+    b2 = str(tmp_path / "b2")
+    spark.createDataFrame(
+        [r for f in files for r in f], "doc_id long, text string"
+    ).write.parquet(b2)
+    assert dedup_job.main(["--input", b2, "--output", root,
+                           "--policy", "online", "--run-id", "r2",
+                           "--resume"]) == 0
+    kept2 = {r.doc_id for r in spark.read.parquet(
+        f"{root}/data/run=r2").collect()}
+    assert stream_keepers == kept2 - {14}  # 14: no bands in either twin
+    assert stream_keepers == {12}
+    assert 14 not in per_doc
+    # committed-dup retires without its original ever streaming
+    assert 10 in per_doc and not any(per_doc[10])
+
+
 def test_star_edges_closure_equals_clique_pairs(spark):
     """The star edge source (doc → its band's min doc) must yield the
     IDENTICAL connected-component keeper table as the clique pair
