@@ -1229,6 +1229,81 @@ FROM pii_docs
 """
 
 
+def q_corpus_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed END PRODUCT of the whole text pipeline in one
+    query (r5): a doc reaches the final corpus iff it (a) survives the
+    MinHash-LSH star-edge CC near-dup pass (not retired), and (b)
+    passes the quality gate (5–1000 tokens on the original text); its
+    emitted fingerprint is the md5 of the PII-SCRUBBED text (over the
+    deterministic PII fixture, same regex chain and order as
+    pii_scrub). Dedup and quality judge the ORIGINAL text; scrubbing
+    touches only the output — the compose-order a real pipeline uses
+    (near-dup signatures must not depend on redaction tokens). Every
+    stage reuses the exact fragment its standalone query pins, so this
+    is composition coverage, not new semantics."""
+    from onnxocr_spark.operators.dedup import (
+        STAR_EDGES_SQL, connected_component_keepers,
+    )
+
+    _register(spark, sf_dir)
+    edges = spark.sql(
+        STAR_EDGES_SQL.format(docs_src=_docs_src(spark, sf_dir))
+    )
+    retired = connected_component_keepers(edges).filter(
+        "doc_id <> keeper"
+    ).select("doc_id")
+    aug = spark.sql(f"SELECT doc_id, text FROM ({_PII_AUG_SPARK}) a")
+    quality_ids = spark.table("documents").filter(
+        "size(split(text, ' ')) BETWEEN 5 AND 1000"
+    ).select("doc_id")
+    scrub = (
+        "md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"text, '{_PII_EMAIL_J}', '<EMAIL>'), "
+        f"'{_PII_IP_J}', '<IP>'), "
+        f"'{_PII_SSN_J}', '<SSN>'), "
+        f"'{_PII_PHONE_J}', '<PHONE>'))"
+    )
+    return (
+        aug.join(retired, "doc_id", "left_anti")
+        .join(quality_ids, "doc_id")
+        .selectExpr(
+            "CAST(doc_id AS BIGINT) AS doc_id", f"{scrub} AS final_fp"
+        )
+    )
+
+
+# assembled via .replace tokens: the PII patterns carry regex braces
+# (.format would treat them as fields) and the LSH fragment carries %
+# (printf-style would choke) — @TOKEN@ substitution dodges both.
+_CORPUS_FINAL_DUCK = """
+WITH RECURSIVE pairs AS (@LSH@),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+reach(v, l) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.v
+),
+retired AS (SELECT v AS doc_id FROM reach GROUP BY v HAVING v <> MIN(l)),
+aug AS (@AUG@)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             a.text, '@EMAILP@', '<EMAIL>', 'g'),
+             '@IPP@', '<IP>', 'g'),
+             '@SSNP@', '<SSN>', 'g'),
+             '@PHONEP@', '<PHONE>', 'g')) AS final_fp
+FROM aug a JOIN documents d ON a.doc_id = d.doc_id
+WHERE a.doc_id NOT IN (SELECT doc_id FROM retired)
+  AND len(string_split(d.text, ' ')) BETWEEN 5 AND 1000
+""" \
+    .replace("@LSH@", _LSH_DUCK.strip()) \
+    .replace("@AUG@", _PII_AUG_DUCK.strip()) \
+    .replace("@EMAILP@", _PII_EMAIL_R) \
+    .replace("@IPP@", _PII_IP_R) \
+    .replace("@SSNP@", _PII_SSN_R) \
+    .replace("@PHONEP@", _PII_PHONE_R)
+
+
 _TOKEN_COUNT_SPARK = """
 SELECT doc_id,
        CAST(regexp_count(text, '[A-Za-z]+') AS BIGINT) AS n_alpha,
@@ -1825,6 +1900,109 @@ FROM (
 )
 GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 3
 """
+
+# Boilerplate REMOVAL end product (r5): where boilerplate_chunks only
+# reports repeated chunks, this emits the cleaned corpus itself — each
+# doc's text with every repeated block cut out. Blocks are
+# NON-overlapping 64-token windows (stride = size; the stride-48
+# detection windows overlap, which makes removal ambiguous) whose md5
+# repeats across >= 3 distinct docs. Reassembly preserves block order
+# (Spark: sort_array over (i, chunk) structs — collect_list drops the
+# NULLed removed blocks; DuckDB: string_agg ORDER BY i with an empty-
+# string COALESCE so an all-boilerplate doc hashes '' on both engines).
+_BOILER_REMOVED_SPARK = """
+WITH blocks AS (
+  SELECT doc_id, i,
+         concat_ws(' ', slice(t, i*64+1, 64)) AS chunk,
+         size(slice(t, i*64+1, 64)) AS n_tok
+  FROM (SELECT doc_id, split(text, ' ') AS t FROM ({docs_src}))
+  LATERAL VIEW explode(sequence(0, CAST(floor((size(t)-1)/64.0) AS INT))) x AS i
+),
+boiler AS (
+  SELECT md5(chunk) AS h FROM blocks
+  GROUP BY md5(chunk) HAVING count(DISTINCT doc_id) >= 3
+),
+flagged AS (
+  SELECT b.doc_id, b.i, b.chunk, b.n_tok, (bo.h IS NULL) AS keep
+  FROM blocks b LEFT JOIN boiler bo ON md5(b.chunk) = bo.h
+)
+SELECT doc_id,
+       md5(concat_ws(' ', transform(
+             sort_array(collect_list(IF(keep, struct(i, chunk), NULL))),
+             s -> s.chunk))) AS clean_fp,
+       CAST(sum(IF(keep, 0, n_tok)) AS BIGINT) AS n_removed_tokens
+FROM flagged GROUP BY doc_id
+"""
+_BOILER_REMOVED_DUCK = """
+WITH blocks AS (
+  SELECT doc_id, i,
+         array_to_string(t[CAST(i*64+1 AS INT) : CAST(i*64+64 AS INT)], ' ')
+           AS chunk,
+         len(t[CAST(i*64+1 AS INT) : CAST(i*64+64 AS INT)]) AS n_tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       LATERAL unnest(generate_series(0,
+           CAST(floor((len(t)-1)/64.0) AS BIGINT))) AS u(i)
+),
+boiler AS (
+  SELECT md5(chunk) AS h FROM blocks
+  GROUP BY md5(chunk) HAVING count(DISTINCT doc_id) >= 3
+),
+flagged AS (
+  SELECT b.doc_id, b.i, b.chunk, b.n_tok, (bo.h IS NULL) AS keep
+  FROM blocks b LEFT JOIN boiler bo ON md5(b.chunk) = bo.h
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(COALESCE(string_agg(CASE WHEN keep THEN chunk END, ' '
+                               ORDER BY i), '')) AS clean_fp,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE n_tok END) AS BIGINT)
+         AS n_removed_tokens
+FROM flagged GROUP BY doc_id
+"""
+
+
+# Decontaminated corpus end product (r5): where decontaminate_overlap
+# only counts 8-gram hits, this emits the training docs that survive —
+# zero eval-slice overlap (sub-8-token docs emit no shingles and are
+# trivially clean). Same eval/train split rule as the counts query.
+_DECONTAM_CLEAN_SPARK = """
+WITH sh AS (
+  SELECT doc_id, explode(transform(sequence(1, size(t) - 7),
+             i -> concat_ws(' ', slice(t, i, 8)))) AS shingle
+  FROM (SELECT doc_id, split(text, ' ') AS t FROM ({docs_src}))
+  WHERE size(t) >= 8
+),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 < 2),
+hits AS (
+  SELECT /*+ BROADCAST(ev) */ DISTINCT sh.doc_id
+  FROM sh JOIN ev ON sh.shingle = ev.shingle
+  WHERE sh.doc_id % 100 >= 2
+)
+SELECT d.doc_id, md5(d.text) AS text_fp
+FROM documents d
+WHERE d.doc_id % 100 >= 2
+  AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+_DECONTAM_CLEAN_DUCK = """
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(t) - 7),
+             i -> array_to_string(t[CAST(i + 1 AS INT):CAST(i + 8 AS INT)],
+                                  ' '))) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 8
+),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 < 2),
+hits AS (
+  SELECT DISTINCT sh.doc_id
+  FROM sh JOIN ev ON sh.shingle = ev.shingle
+  WHERE sh.doc_id % 100 >= 2
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, md5(d.text) AS text_fp
+FROM documents d
+WHERE d.doc_id % 100 >= 2
+  AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
 
 # Deterministic stratified sampling (r4): corpus mixing weights sources
 # differently — keep a doc when the first 8 md5 hex digits of its id
@@ -2574,6 +2752,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline ops
         "pii_stats": _sqlq(_PII_STATS_SPARK),
         "pii_scrub": _sqlq(_PII_SCRUB_SPARK),
+        "corpus_final": q_corpus_final,
+        "boilerplate_removed_corpus": _sqlq_fanout(_BOILER_REMOVED_SPARK),
+        "decontaminated_corpus": _sqlq_fanout(_DECONTAM_CLEAN_SPARK),
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_online": q_dedup_incremental_online,
         "dedup_exact": _sqlq(_DEDUP_EXACT_SPARK),
@@ -2597,10 +2778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_content": q_html_main_content,
         "doc_fingerprint": _sqlq(_FINGERPRINT),
         "doc_rolling_hash": _sqlq(_ROLLHASH_SPARK),
-        "lang_id": _sqlq(_LANG_ID),
         "lang_id_ngram": q_lang_id_ngram,
         "lang_confusion": q_lang_confusion,
-        "source_stats": _sqlq(_SOURCE_STATS_SPARK),
         "decontaminate_overlap": _sqlq_fanout(_DECONTAM_SPARK),
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_image_dims": q_multimodal_image_dims,
@@ -2610,7 +2789,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _sqlq(_QUALITY_SPARK),
         "token_count": _sqlq(_TOKEN_COUNT_SPARK),
         "token_count_bpe": _sqlq(_TOKEN_BPE_SPARK),
-        "top_terms": _sqlq(_TOP_TERMS_SPARK),
         "chunk_documents": _sqlq_fanout(_CHUNK_SPARK),
         "stratified_sample": _sqlq(_STRATSAMPLE_SPARK),
         "token_rarity_stats": _sqlq_fanout(_RARITY_SPARK),
@@ -2618,6 +2796,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessionization": _sqlq(_SESSIONS_SQL),
         # --- tail: outside the driver's 50-row window ---
         # long-stable (green driver rows in r1–r4, unchanged since)
+        "lang_id": _sqlq(_LANG_ID),
+        "source_stats": _sqlq(_SOURCE_STATS_SPARK),
+        "top_terms": _sqlq(_TOP_TERMS_SPARK),
         "annotated_boxes_count": q_annotated_boxes_count,
         "ocr_media_structure_split": q_ocr_media_structure_split,
         "ctc_dedupe_analog": _sqlq(_CTC_SPARK),
@@ -2672,6 +2853,9 @@ def oracle_sql() -> dict[str, str]:
         "q3_top_orders": _Q3,
         "pii_stats": _PII_STATS_DUCK,
         "pii_scrub": _PII_SCRUB_DUCK,
+        "corpus_final": _CORPUS_FINAL_DUCK,
+        "boilerplate_removed_corpus": _BOILER_REMOVED_DUCK,
+        "decontaminated_corpus": _DECONTAM_CLEAN_DUCK,
         "dedup_incremental": _INCREMENTAL_DUCK,
         "dedup_incremental_online": _INCREMENTAL_ONLINE_DUCK,
         "dedup_exact": _DEDUP_EXACT_DUCK,
