@@ -112,6 +112,7 @@ HEADLINE = [
     "dedup_incremental_online",
     "semdedup_two_level_cells",
     "semantic_incremental",
+    "corpus_final",
 ]
 # set =1 to skip the multi-JVM scaling section (quick query iteration)
 _SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"

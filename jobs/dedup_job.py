@@ -62,6 +62,33 @@ import time
 _VIEW_SEQ = iter(range(1, 1 << 30))
 
 
+def _exact_fingerprints(docs):
+    """(doc_id, band_sig): the exact policy's signature — md5 of the
+    first-4-token prefix (the battery dedup_exact rule) — in the same
+    column name the near-dup sigindex uses so one index layout serves
+    every policy (a 32-hex fingerprint can never equal a band's
+    'int|int|int|int' string, so the keyspaces cannot cross-match)."""
+    from pyspark.sql import functions as F
+
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, 4))
+        ).alias("band_sig"),
+    )
+
+
+def _fp_sigindex(fp):
+    """fingerprints → sigindex rows (band=0, band_sig, hub=min doc)."""
+    from pyspark.sql import functions as F
+
+    return fp.groupBy("band_sig").agg(
+        F.min("doc_id").alias("hub")
+    ).select(
+        F.lit(0).cast("bigint").alias("band"), "band_sig", "hub"
+    )
+
+
 def cleaned_corpus(docs, policy: str):
     """(keepers DataFrame, retired DataFrame, cleanup, sigindex) for
     the chosen policy. ``cleanup()`` unpersists the cached inputs and
@@ -97,20 +124,15 @@ def cleaned_corpus(docs, policy: str):
         spark.catalog.dropTempView(view)
 
     if policy == "exact":
-        fp = docs.select(
-            "doc_id",
-            F.md5(
-                F.concat_ws(" ", F.slice(F.split("text", " "), 1, 4))
-            ).alias("fp"),
-        )
-        keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select(
-            "doc_id"
-        )
+        fp = _exact_fingerprints(docs)
+        keep = fp.groupBy("band_sig").agg(
+            F.min("doc_id").alias("doc_id")
+        ).select("doc_id")
         return (
             docs.join(keep, "doc_id"),
             docs.join(keep, "doc_id", "left_anti"),
             cleanup,
-            None,
+            _fp_sigindex(fp),
         )
 
     docs.createOrReplaceTempView(view)
@@ -185,7 +207,11 @@ def incremental_corpus(docs, output_root: str, policy: str = "cc"):
     survives iff every band signature is absent from the index AND
     first-emitted by it within the batch — no iteration, one index
     anti-lookup + one window; oracle-proven equal to the full-corpus
-    online rule (dedup_incremental_online)."""
+    online rule (dedup_incremental_online). ``policy='exact'`` does
+    the same first-wins lookup over md5 prefix fingerprints (no
+    shingling at all). Signature spaces are policy-specific, so a
+    resume must use the committed runs' policy (guarded via the
+    metrics sidecars, which survive compaction)."""
     import glob
     import os
 
@@ -217,19 +243,83 @@ def incremental_corpus(docs, output_root: str, policy: str = "cc"):
     if not sig_dirs:
         raise SystemExit(
             "--resume: no committed sigindex under the output root; run "
-            "an initial cc dedup (without --resume) first"
+            "an initial dedup (without --resume) first"
         )
     committed_runs = {os.path.basename(d) for d in sig_dirs}
     led_dirs = [d for d in _committed("ledger")
                 if os.path.basename(d) in committed_runs]
     ret_dirs = [d for d in _committed("retired")
                 if os.path.basename(d) in committed_runs]
+    if not led_dirs:
+        # reachable only mid-crashed compaction (sigindex dirs exist
+        # whose ledgers were already dropped) — heal by re-running the
+        # compaction, don't silently treat everything as unprocessed
+        raise SystemExit(
+            "--resume: sigindex runs have no matching committed "
+            "ledgers; the root looks mid-compaction — re-run "
+            "compact_runs before resuming"
+        )
+    # signatures are policy-specific (band sigs vs md5 fingerprints):
+    # resuming under a different policy than the committed runs would
+    # silently find no matches and under-dedup — refuse the mix. The
+    # sidecars survive compaction (metrics are never consolidated), so
+    # this sees the founding run's policy even on a compacted root.
+    import json
+
+    side_dir = os.path.join(output_root, "metrics", "_sidecars")
+    if os.path.isdir(side_dir):
+        prior = set()
+        for fjs in os.listdir(side_dir):
+            if fjs.startswith("run_") and fjs.endswith(".json"):
+                try:
+                    with open(os.path.join(side_dir, fjs)) as fh:
+                        prior.add(json.load(fh).get("policy"))
+                except (OSError, ValueError):
+                    pass
+        prior.discard(None)
+        if prior and prior != {policy}:
+            raise SystemExit(
+                f"--resume: policy {policy!r} does not match the "
+                f"committed runs' {sorted(prior)}"
+            )
+
     processed = (
         spark.read.parquet(*led_dirs).select("doc_id")
         .unionByName(spark.read.parquet(*ret_dirs).select("doc_id"))
         .distinct()
     )
     docs = docs.join(processed, "doc_id", "left_anti").persist()
+    index = spark.read.parquet(*sig_dirs)
+
+    if policy == "exact":
+        from pyspark.sql import Window
+
+        fp = _exact_fingerprints(docs)
+        w = Window.partitionBy("band_sig")
+        kept_ids = (
+            fp.join(
+                index.select("band_sig").withColumn("_hit", F.lit(1)),
+                "band_sig", "left",
+            )
+            .withColumn("first_new", F.min("doc_id").over(w))
+            .filter(
+                F.col("_hit").isNull()
+                & (F.col("doc_id") == F.col("first_new"))
+            )
+            .select("doc_id")
+        )
+
+        def cleanup() -> None:
+            docs.unpersist(blocking=True)
+
+        return (
+            docs.join(kept_ids, "doc_id"),
+            docs.join(kept_ids, "doc_id", "left_anti"),
+            cleanup,
+            _fp_sigindex(fp),
+            docs,
+        )
+
     view = f"dedup_input_{next(_VIEW_SEQ)}"
     docs.createOrReplaceTempView(view)
     bands = spark.sql(
@@ -241,7 +331,6 @@ def incremental_corpus(docs, output_root: str, policy: str = "cc"):
         bands.unpersist(blocking=True)
         spark.catalog.dropTempView(view)
 
-    index = spark.read.parquet(*sig_dirs)
     if policy == "online":
         from pyspark.sql import Window
 
@@ -296,10 +385,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--run-id", default=None)
     p.add_argument("--resume", action="store_true",
                    help="treat --input as a NEW batch and dedup it "
-                        "against prior runs' sigindex (cc/online)")
+                        "against prior runs' sigindex (any policy; must "
+                        "match the committed runs' policy)")
     args = p.parse_args(argv)
-    if args.resume and args.policy == "exact":
-        p.error("--resume supports --policy cc or online")
 
     import os
 

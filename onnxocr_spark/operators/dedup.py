@@ -294,7 +294,9 @@ def incremental_new_doc_decisions(
       - within-batch: doc → min new doc per (band, band_sig) window;
       - cross-run:    doc → -(hub+1) per matching index signature.
     Prior-run hubs are remapped to NEGATIVE vertex ids so min-label
-    propagation implements committed-wins for ANY id assignment: a
+    propagation implements committed-wins for any NONNEGATIVE id
+    assignment (a corpus with negative doc ids would collide with the
+    mapped hub range): a
     component touching any processed doc gets a negative keeper, and an
     all-new component's keeper is its min new doc id. A new doc is kept
     iff its keeper is itself (absent from the graph ⇒ trivially kept).

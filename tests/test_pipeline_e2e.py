@@ -349,6 +349,27 @@ def test_dedup_job_incremental_resume(spark, tmp_path):
         f"{oroot}/retired/run=o2").collect()}
     assert kept_o == {12, 14} and retired_o == {10, 11, 13}
 
+    # EXACT policy resume (r5): md5 prefix-fingerprint first-wins.
+    # Run1 exact on batch1 retires {2, 3} (doc 3 shares doc 0's 4-token
+    # prefix); batch2: 10 (prefix == base's) and 11 (prefix == uniq1's)
+    # hit the index, 13 loses within-batch to 12, 14's prefix is new.
+    eroot = str(tmp_path / "exact_inc")
+    assert dedup_job.main(["--input", src1, "--output", eroot,
+                           "--policy", "exact", "--run-id", "e1"]) == 0
+    assert os.path.exists(f"{eroot}/sigindex/run=e1/_SUCCESS")
+    assert dedup_job.main(["--input", src2, "--output", eroot,
+                           "--policy", "exact", "--run-id", "e2",
+                           "--resume"]) == 0
+    kept_e = {r.doc_id for r in spark.read.parquet(
+        f"{eroot}/data/run=e2").collect()}
+    assert kept_e == {12, 14}
+
+    # policy-mismatch guard: resuming an exact root under cc refuses
+    import pytest as _pt
+    with _pt.raises(SystemExit, match="does not match"):
+        dedup_job.main(["--input", src2, "--output", eroot,
+                        "--policy", "cc", "--run-id", "e3", "--resume"])
+
 
 def test_dedup_resume_ignores_mid_crash_runs(spark, tmp_path):
     """A dedup run's commit marker is its sigindex dir (written last):
