@@ -45,17 +45,70 @@ def connected_component_keepers(
     max_iter: int = 25,
     jump_from: int = 2,
     stats: dict | None = None,
+    small_collect_threshold: int = 100_000,
 ) -> DataFrame:
     """(doc_a, doc_b) pairs → (doc_id, keeper) with keeper = min id of
     the doc's connected component. Docs not in any pair are absent
     (they are their own keepers by definition). If `stats` is given,
     stats['rounds'] records the iterations executed (the last one is
-    the fixpoint-confirming round)."""
+    the fixpoint-confirming round) and stats['strategy'] which path
+    ran.
+
+    Adaptive strategy (r5): when the edge table is at most
+    ``small_collect_threshold`` rows, closure runs as a driver-side
+    union-find over one bounded collect — the same small-side
+    adaptivity a broadcast join applies, and the honest answer for the
+    common case where a dedup pass emits a few thousand edges while
+    the iterative path pays 2+ Spark jobs per round in fixed latency.
+    The union rule attaches the larger root under the smaller, so a
+    set's root is ALWAYS its minimum member and find() is exactly the
+    keeper — identical output to min-label propagation by definition
+    (pinned by test against the distributed path). Above the threshold
+    the distributed pointer-jumping loop below is untouched; pass 0 to
+    force it."""
     spark = pairs.sparkSession
     e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
     edges = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
+
+    n_edges = edges.count()  # also materializes the cache for round 1
+    if n_edges <= small_collect_threshold:
+        from pyspark.sql import types as T
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            a, b = row[0], row[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        out = [(v, find(v)) for v in parent]
+        edges.unpersist()
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["strategy"] = "driver-union-find"
+        id_t = pairs.schema[a_col].dataType
+        return spark.createDataFrame(
+            out,
+            T.StructType([
+                T.StructField("doc_id", id_t), T.StructField("keeper", id_t)
+            ]),
+        )
+    if stats is not None:
+        stats["strategy"] = "distributed-pointer-jumping"
 
     # initial label: min neighbor vs self. Iteration state policy:
     # persist each round and FREE the previous round's cache as soon as

@@ -1427,11 +1427,32 @@ def test_connected_component_keepers_chain_log_rounds(spark):
     )
     stats: dict = {}
     got = {r.doc_id: r.keeper
-           for r in connected_component_keepers(pairs, stats=stats).collect()}
+           for r in connected_component_keepers(
+               pairs, stats=stats, small_collect_threshold=0
+           ).collect()}
     assert got == {i: 0 for i in range(n)}
+    assert stats["strategy"] == "distributed-pointer-jumping"
     # jump_from plain rounds + log2 doubling rounds + fixpoint confirm
     bound = 2 + math.ceil(math.log2(n - 1)) + 1 + 1
     assert stats["rounds"] <= bound, stats
+
+    # r5 adaptive small path: the driver union-find must agree exactly
+    # with the distributed closure on a graph mixing a chain, a clique,
+    # and singleton-free components
+    extra = pairs.unionByName(spark.createDataFrame(
+        [(100, 101), (101, 102), (100, 102), (200, 300)],
+        "doc_a long, doc_b long",
+    ))
+    s2: dict = {}
+    small = {r.doc_id: r.keeper
+             for r in connected_component_keepers(
+                 extra, stats=s2).collect()}
+    assert s2["strategy"] == "driver-union-find"
+    dist = {r.doc_id: r.keeper
+            for r in connected_component_keepers(
+                extra, small_collect_threshold=0).collect()}
+    assert small == dist
+    assert small[102] == 100 and small[300] == 200
 
 
 # ----------------------------------------------------- HTML extraction
