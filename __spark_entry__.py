@@ -1695,8 +1695,15 @@ def q_semdedup_two_level_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TWO_LEVEL_CELLS_DUCK = """
-WITH ranked AS (
+# WITH-fragment replaying the forced two-level assignment rule at
+# C=32 / S=6; ends in cells(vec_id, embedding, cell) so the same
+# fragment feeds both the assignment oracle (_TWO_LEVEL_CELLS_DUCK)
+# and the bucketed pair-stage oracle (_TWO_LEVEL_PAIRS_DUCK) — the
+# CLAUDE.md round-5 candidate: when adaptive √N crosses the 4096-cell
+# threshold at some future SF, the pair scan silently composes with
+# two-level cells, so the composition is proven NOW on the forced path
+# rather than first exercised at 10^12 docs.
+_TWO_LEVEL_CELLS_CTE = """ranked AS (
   SELECT vec_id, embedding,
          ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
            AS rn
@@ -1725,15 +1732,52 @@ vec_super AS (
   FROM embeddings e CROSS JOIN supers u),
 vs AS (SELECT vec_id, embedding, super_id FROM vec_super WHERE rk = 1),
 final AS (
-  SELECT v.vec_id, g.seed_id,
+  SELECT v.vec_id, v.embedding, g.seed_id,
          ROW_NUMBER() OVER (PARTITION BY v.vec_id
              ORDER BY list_cosine_similarity(v.embedding::DOUBLE[],
                                              g.se::DOUBLE[]) DESC,
                       g.seed_id) AS rk
-  FROM vs v JOIN seed_group g ON g.super_id = v.super_id)
-SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(seed_id AS BIGINT) AS cell
-FROM final WHERE rk = 1
+  FROM vs v JOIN seed_group g ON g.super_id = v.super_id),
+cells AS (SELECT vec_id, embedding, seed_id AS cell FROM final WHERE rk = 1)
 """
+
+_TWO_LEVEL_CELLS_DUCK = (
+    "WITH "
+    + _TWO_LEVEL_CELLS_CTE
+    + """
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cell AS BIGINT) AS cell
+FROM cells
+"""
+)
+
+_TWO_LEVEL_PAIRS_DUCK = (
+    "WITH " + _TWO_LEVEL_CELLS_CTE + _BUCKETED_PAIRS_DUCK.format(t=0.25)
+)
+
+
+def q_semdedup_two_level_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed SemDeDup pair scan composed with the FORCED
+    two-level assignment (C=32, S=6) — the integration the round-5
+    CLAUDE.md candidate flagged: past 4096 adaptive cells
+    ``cosine_pairs_bucketed`` engages two-level assignment
+    automatically, and the pair stage must emit exactly the pairs the
+    two-level cells imply. Same (cell, ga, gb)-keyed blocked GEMM and
+    0.25 threshold as dedup_embedding_cosine_bucketed; only the cell
+    rule differs. The DuckDB oracle composes the two-level cell CTE
+    with the identical within-cell pair scan."""
+    from onnxocr_spark.operators.similarity import cosine_pairs_bucketed
+
+    _register(spark, sf_dir)
+    return cosine_pairs_bucketed(
+        spark.table("embeddings"),
+        threshold=0.25,
+        n_cells=32,
+        block_rows=1024,
+        two_level=True,
+    ).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+    )
 
 
 def q_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2774,6 +2818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_keepers": q_dedup_semantic_keepers,
         "semantic_cleaned_corpus": q_semantic_cleaned_corpus,
         "semdedup_two_level_cells": q_semdedup_two_level_cells,
+        "semdedup_two_level_pairs": q_semdedup_two_level_pairs,
         "semantic_incremental": q_semantic_incremental,
         "html_main_content": q_html_main_content,
         "doc_fingerprint": _sqlq(_FINGERPRINT),
@@ -2793,9 +2838,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _sqlq(_STRATSAMPLE_SPARK),
         "token_rarity_stats": _sqlq_fanout(_RARITY_SPARK),
         "boilerplate_chunks": _sqlq_fanout(_BOILERPLATE_SPARK),
-        "event_sessionization": _sqlq(_SESSIONS_SQL),
         # --- tail: outside the driver's 50-row window ---
-        # long-stable (green driver rows in r1–r4, unchanged since)
+        # long-stable (green driver rows in r1–r4, unchanged since;
+        # event_sessionization rotated out in r5 after two green rounds
+        # to make window room for semdedup_two_level_pairs)
+        "event_sessionization": _sqlq(_SESSIONS_SQL),
         "lang_id": _sqlq(_LANG_ID),
         "source_stats": _sqlq(_SOURCE_STATS_SPARK),
         "top_terms": _sqlq(_TOP_TERMS_SPARK),
@@ -2898,5 +2945,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic_keepers": _SEMANTIC_KEEPERS_DUCK,
         "semantic_cleaned_corpus": _SEMANTIC_CLEANED_DUCK,
         "semdedup_two_level_cells": _TWO_LEVEL_CELLS_DUCK,
+        "semdedup_two_level_pairs": _TWO_LEVEL_PAIRS_DUCK,
         "semantic_incremental": _SEMANTIC_INCREMENTAL_DUCK,
     }

@@ -383,6 +383,7 @@ def cosine_pairs_bucketed(
     block_rows: int = 1024,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    two_level: bool | None = None,
 ) -> DataFrame:
     """Cluster-first SemDeDup pair source (VERDICT r2 item 1): assign
     vectors to ``seed_cells``, run the blocked-GEMM pair scan WITHIN
@@ -394,14 +395,22 @@ def cosine_pairs_bucketed(
     explicit integer pins the count for tests. Cross-cell pairs are by
     design not emitted — SemDeDup semantics compare within semantic
     clusters only (Abbas et al. 2023); ``cosine_pairs_blocked`` remains
-    the global exactness engine for small-SF cross-checks."""
+    the global exactness engine for small-SF cross-checks.
+
+    ``two_level`` is forwarded to ``seed_cells`` verbatim: None (the
+    shipped default) auto-engages the hierarchical assignment past
+    ``TWO_LEVEL_CELLS_THRESHOLD`` cells — the integration point the r5
+    CLAUDE.md candidate named: once a corpus pushes adaptive √N past
+    4096, the PAIR stage silently runs over two-level cells, so that
+    composition is battery-proven now (semdedup_two_level_pairs, forced
+    two_level=True at C=32) instead of first exercised at 10^12 docs."""
     # n from the RAW table (same row count, columnar count) — counting
     # `cells` would execute the whole assignment plan once for the
     # count and again for the pair stage
     n = emb.count()
     if n_cells is None:
         n_cells = adaptive_n_cells(n)
-    cells = seed_cells(emb, n_cells, id_col, vec_col)
+    cells = seed_cells(emb, n_cells, id_col, vec_col, two_level=two_level)
     return cosine_pairs_blocked(
         cells, threshold, block_rows, id_col, vec_col,
         cell_col="cell", cells_hint=n_cells, n_rows=n,
