@@ -28,7 +28,18 @@ def main(argv: list[str] | None = None) -> int:
                    help="comma-separated run ids (default: all committed)")
     p.add_argument("--compacted-id", default=None)
     p.add_argument("--target-partitions", type=int, default=None)
+    p.add_argument("--bucket-index", type=int, default=None, metavar="N",
+                   help="after compacting, fold the root's committed "
+                        "sigindex into an N-bucket table "
+                        "(sinks/bucketed.py) so future --resume runs "
+                        "join it without an index-side shuffle")
+    p.add_argument("--bucket-index-only", action="store_true",
+                   help="skip the run compaction and only (re)build "
+                        "the bucketed sigindex (requires "
+                        "--bucket-index)")
     args = p.parse_args(argv)
+    if args.bucket_index_only and not args.bucket_index:
+        p.error("--bucket-index-only requires --bucket-index N")
 
     from pyspark.sql import SparkSession
 
@@ -36,14 +47,23 @@ def main(argv: list[str] | None = None) -> int:
 
     owns_session = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName("onnxocr-compact").getOrCreate()
-    metrics = compact_runs(
-        spark,
-        args.root,
-        run_ids=args.runs.split(",") if args.runs else None,
-        compacted_id=args.compacted_id,
-        target_partitions=args.target_partitions,
-    )
-    print(f"compacted: {metrics}")
+    if not args.bucket_index_only:
+        metrics = compact_runs(
+            spark,
+            args.root,
+            run_ids=args.runs.split(",") if args.runs else None,
+            compacted_id=args.compacted_id,
+            target_partitions=args.target_partitions,
+        )
+        print(f"compacted: {metrics}")
+    if args.bucket_index:
+        # runs AFTER the compaction consolidated/renamed the sigindex
+        # run dirs, so the fresh coverage marker names the surviving
+        # runs (a pre-compaction marker would be stale and ignored)
+        from onnxocr_spark.sinks.bucketed import bucketize_sigindex
+
+        cover = bucketize_sigindex(spark, args.root, args.bucket_index)
+        print(f"bucketized sigindex: {cover}")
     if owns_session:
         spark.stop()
     return 0

@@ -199,7 +199,10 @@ def incremental_corpus(docs, output_root: str, policy: str = "cc"):
     cleaned_corpus contract. ``docs`` is the new batch only; docs
     already in a prior ledger or retired manifest are dropped first
     (idempotent re-submission), and prior batches' TEXT is never
-    read — the only cross-run state is {root}/sigindex/run=*.
+    read — the only cross-run state is {root}/sigindex/run=* (plus the
+    optional bucketed-table accelerator sinks/bucketed.py derives from
+    those dirs; it never changes a decision, only removes the
+    index-side shuffle).
 
     ``policy='cc'`` closes star + index edges by connected components
     (committed-wins; full-corpus-equivalent for monotone ids).
@@ -289,23 +292,49 @@ def incremental_corpus(docs, output_root: str, policy: str = "cc"):
         .distinct()
     )
     docs = docs.join(processed, "doc_id", "left_anti").persist()
-    index = spark.read.parquet(*sig_dirs)
+    # The index arrives as one or more PARTS (sinks/bucketed.py): when
+    # a maintenance pass has bucketized the accumulated sigindex, the
+    # big part scans straight out of bucket files pre-partitioned on
+    # (band, band_sig) and its equi-join below adds no index-side
+    # Exchange — only the new batch shuffles (the storage-partitioned-
+    # join shape PLANS.md §7 called for); runs committed since the
+    # last bucketize ride along as a small parquet delta part. Each
+    # part is joined separately — a union would forfeit the bucketed
+    # scan's output partitioning. Index rows may repeat across parts;
+    # every consumer below absorbs duplicates (documented per policy).
+    from onnxocr_spark.sinks.bucketed import load_sigindex_parts
+
+    index_parts = load_sigindex_parts(spark, output_root, sig_dirs)
+
+    def _flag_hits(frame, keys: list[str]):
+        """Left-join every index part on ``keys``, adding _hit0.._hitK
+        flag columns; returns (frame, miss) where ``miss`` is the
+        all-parts-absent predicate. Matched rows may fan out (across
+        duplicate index rows or parts) — downstream min-windows and
+        bool_and absorb that; an absent row is never duplicated."""
+        flags = []
+        for i, part in enumerate(index_parts):
+            col = f"_hit{i}"
+            frame = frame.join(
+                part.select(*keys).withColumn(col, F.lit(1)),
+                keys, "left",
+            )
+            flags.append(F.col(col).isNull())
+        miss = flags[0]
+        for f in flags[1:]:
+            miss = miss & f
+        return frame, miss
 
     if policy == "exact":
         from pyspark.sql import Window
 
         fp = _exact_fingerprints(docs)
         w = Window.partitionBy("band_sig")
+        flagged, miss = _flag_hits(fp, ["band_sig"])
         kept_ids = (
-            fp.join(
-                index.select("band_sig").withColumn("_hit", F.lit(1)),
-                "band_sig", "left",
-            )
+            flagged
             .withColumn("first_new", F.min("doc_id").over(w))
-            .filter(
-                F.col("_hit").isNull()
-                & (F.col("doc_id") == F.col("first_new"))
-            )
+            .filter(miss & (F.col("doc_id") == F.col("first_new")))
             .select("doc_id")
         )
 
@@ -335,20 +364,17 @@ def incremental_corpus(docs, output_root: str, policy: str = "cc"):
         from pyspark.sql import Window
 
         w = Window.partitionBy("band", "band_sig")
-        # per-run index rows may repeat a (band, band_sig) — the join
-        # fan-out duplicates flag rows with identical values, which the
-        # bool_and absorbs; no distinct needed
+        # per-run (and per-part) index rows may repeat a
+        # (band, band_sig) — the join fan-out duplicates flag rows
+        # with identical values, which the bool_and absorbs; no
+        # distinct needed
+        flagged, miss = _flag_hits(bands, ["band", "band_sig"])
         flagged = (
-            bands.join(
-                index.select("band", "band_sig")
-                .withColumn("_hit", F.lit(1)),
-                ["band", "band_sig"], "left",
-            )
+            flagged
             .withColumn("first_new", F.min("doc_id").over(w))
             .withColumn(
                 "ok",
-                F.col("_hit").isNull()
-                & (F.col("doc_id") == F.col("first_new")),
+                miss & (F.col("doc_id") == F.col("first_new")),
             )
         )
         banded_keep = (
@@ -362,7 +388,7 @@ def incremental_corpus(docs, output_root: str, policy: str = "cc"):
         kept_ids = banded_keep.unionByName(no_bands)
     else:
         dec = incremental_new_doc_decisions(
-            docs.select("doc_id"), bands, index
+            docs.select("doc_id"), bands, index_parts
         )
         kept_ids = dec.filter("kept").select("doc_id")
     sigindex = bands.groupBy("band", "band_sig").agg(

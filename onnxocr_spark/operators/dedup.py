@@ -332,7 +332,9 @@ def star_edges_from_bands(bands: DataFrame) -> DataFrame:
 
 
 def incremental_new_doc_decisions(
-    new_docs: DataFrame, new_bands: DataFrame, index: DataFrame
+    new_docs: DataFrame,
+    new_bands: DataFrame,
+    index: DataFrame | list[DataFrame],
 ) -> DataFrame:
     """Keep/retire decision for a NEW batch of documents against the
     band-signature index of previously committed runs, without touching
@@ -375,14 +377,26 @@ def incremental_new_doc_decisions(
     NEW doc plus matched hubs. A daily 1%-ingest run costs ~1% of the
     full-corpus job."""
     star = star_edges_from_bands(new_bands)
-    cross = (
-        new_bands.join(index, ["band", "band_sig"])
-        .select(
-            F.col("doc_id").alias("doc_a"),
-            (-F.col("hub") - F.lit(1)).cast("bigint").alias("doc_b"),
+    # `index` may arrive as a LIST of parts (sinks/bucketed.py: the
+    # bucketed base table + the post-bucketize parquet delta). Each
+    # part is joined SEPARATELY — unioning a bucketed and an
+    # unbucketed frame before the join would forfeit the bucketed
+    # scan's output partitioning and re-shuffle the whole index; the
+    # union of the per-part JOIN RESULTS (matches only, small) keeps
+    # the index side exchange-free. Repeated (band, band_sig) rows
+    # across parts only add parallel hub edges, which the CC absorbs.
+    parts = index if isinstance(index, (list, tuple)) else [index]
+    cross = None
+    for part in parts:
+        c = (
+            new_bands.join(part, ["band", "band_sig"])
+            .select(
+                F.col("doc_id").alias("doc_a"),
+                (-F.col("hub") - F.lit(1)).cast("bigint").alias("doc_b"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
+        cross = c if cross is None else cross.unionByName(c)
     labels = connected_component_keepers(star.unionByName(cross))
     return new_docs.join(labels, "doc_id", "left").select(
         "doc_id",

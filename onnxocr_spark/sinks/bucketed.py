@@ -1,0 +1,208 @@
+"""Bucketed band-signature index: the storage-partitioned-join analog.
+
+The incremental dedup resume (jobs/dedup_job.py --resume) equi-joins the
+new batch's band rows against the accumulated sigindex on
+(band, band_sig). Read as plain parquet that join shuffles BOTH sides —
+and at 100 TB the index side is the corpus-sized one: a daily 1% ingest
+pays a full-index shuffle every day. The round-5 PLANS.md §7 note named
+the fix — with an Iceberg catalog the sigindex becomes a
+bucket-partitioned table and a storage-partitioned join moves only the
+new batch. No Iceberg jar ships in this environment, but Spark's native
+bucketed tables give the identical physical property: a table written
+with ``bucketBy(N, "band", "band_sig")`` reports
+``HashPartitioning(band, band_sig, N)`` straight from the scan, so the
+sort-merge join on those keys adds NO Exchange on the index side — only
+the (small) new-batch side shuffles, into N partitions matching the
+buckets. Spark's bucket id is ``pmod(murmur3(cols), N)`` — the same
+hash ``repartition(N, cols)`` uses — so the pre-write repartition below
+aligns tasks with buckets and each bucket lands in one file.
+
+Lifecycle (mirrors the compaction discipline in sinks/ledger.py):
+
+- ``bucketize_sigindex`` is a MAINTENANCE pass (jobs/compact_job.py
+  --bucket-index, or standalone): it folds every committed
+  ``sigindex/run=*`` dir into one bucketed table under
+  ``{root}/sigindex_bucketed/`` using the same decision-preserving
+  global re-aggregation compaction applies (one (band, band_sig) row,
+  min hub — an index MATCH retires a new doc regardless of which
+  processed doc the hub names). The coverage marker ``_COVERS.json`` is
+  written LAST: a crash mid-write leaves no marker, so readers fall
+  back to the parquet dirs and never see a partial table.
+- ``load_sigindex_parts`` is what --resume reads: the bucketed table
+  for every run the marker covers, PLUS the raw parquet dirs of any
+  runs committed after the last bucketize (the small daily delta — it
+  joins broadcast/shuffled, which is fine at delta size). Rows may
+  repeat across parts; every consumer of the index is duplicate-
+  tolerant by contract (bool_and absorption, parallel CC hub edges),
+  so overlap is harmless and a gap is impossible: a run is either
+  covered by the marker or still has its parquet dir. If the marker
+  covers runs that are no longer committed (the compactor renamed them
+  into a consolidated run), the table is STALE and is ignored entirely
+  — correctness first, re-bucketize to get the acceleration back.
+
+The run dirs stay the source of truth; the table is a derived
+accelerator that can be dropped and rebuilt at any time. Single-writer
+per root, like compaction.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+BUCKET_COLS = ("band", "band_sig")
+_LAYOUT = "sigindex_bucketed"
+
+
+def sigindex_table_name(root: str) -> str:
+    """Deterministic per-root session-catalog table name (twin roots in
+    one test session must not collide)."""
+    digest = hashlib.md5(os.path.abspath(root).encode()).hexdigest()[:12]
+    return f"sigindex_{digest}"
+
+
+def _marker_path(root: str) -> str:
+    return os.path.join(os.path.abspath(root), _LAYOUT, "_COVERS.json")
+
+
+def _data_path(root: str) -> str:
+    # absolute: a relative ``path`` option would resolve against the
+    # warehouse dir, landing the bucket files away from the root
+    return os.path.join(os.path.abspath(root), _LAYOUT, "data")
+
+
+def committed_sigindex_dirs(root: str) -> list[str]:
+    """_SUCCESS-complete sigindex run dirs (the dedup job's commit
+    marker — same rule jobs/dedup_job.py applies)."""
+    return sorted(
+        d
+        for d in glob.glob(os.path.join(root, "sigindex", "run=*"))
+        if os.path.exists(os.path.join(d, "_SUCCESS"))
+    )
+
+
+def bucketize_sigindex(
+    spark: SparkSession, root: str, n_buckets: int = 64
+) -> dict:
+    """Fold all committed sigindex run dirs into one bucketed table.
+
+    Steps (crash window analysis in the module docstring): drop any
+    previous table + data, write the re-aggregated index bucketed by
+    (band, band_sig), then publish the coverage marker last."""
+    sig_dirs = committed_sigindex_dirs(root)
+    if not sig_dirs:
+        raise ValueError(f"no committed sigindex runs under {root}")
+    table = sigindex_table_name(root)
+    data_path = _data_path(root)
+
+    marker = _marker_path(root)
+    if os.path.exists(marker):
+        os.remove(marker)  # old coverage is void the moment we rebuild
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if os.path.isdir(data_path):
+        shutil.rmtree(data_path)
+
+    index = (
+        spark.read.parquet(*sig_dirs)
+        .groupBy(*BUCKET_COLS)
+        .agg(F.min("hub").alias("hub"))
+    )
+    (
+        index.repartition(n_buckets, *[F.col(c) for c in BUCKET_COLS])
+        .write.format("parquet")
+        .bucketBy(n_buckets, *BUCKET_COLS)
+        .sortBy(*BUCKET_COLS)
+        .option("path", data_path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+    schema_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in spark.table(table).schema.fields
+    )
+    cover = {
+        "table": table,
+        "buckets": n_buckets,
+        "runs": sorted(os.path.basename(d) for d in sig_dirs),
+        "schema_ddl": schema_ddl,
+    }
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cover, f)
+    os.replace(tmp, marker)  # commit point
+    return cover
+
+
+def _ensure_registered(spark: SparkSession, root: str, cover: dict) -> bool:
+    """Re-register the external bucketed table in THIS session's
+    catalog (the default in-memory catalog does not survive restarts;
+    the parquet bucket files + marker do). Returns False if the data
+    dir is gone — caller falls back to the run dirs."""
+    data_path = _data_path(root)
+    if not os.path.isdir(data_path):
+        return False
+    table = cover["table"]
+    if not spark.catalog.tableExists(table):
+        cols = ", ".join(BUCKET_COLS)
+        spark.sql(
+            f"CREATE TABLE {table} ({cover['schema_ddl']}) USING PARQUET "
+            f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+            f"INTO {cover['buckets']} BUCKETS "
+            f"LOCATION '{data_path}'"
+        )
+    return True
+
+
+def load_sigindex_parts(
+    spark: SparkSession, root: str, sig_dirs: list[str] | None = None
+) -> list[DataFrame]:
+    """The index a --resume run joins against, as one or two parts:
+    [bucketed table (+ parquet delta of uncovered runs)] when a valid
+    coverage marker exists, else [union of the raw parquet run dirs].
+    Parts must be JOINED SEPARATELY by the consumer (a union of a
+    bucketed and an unbucketed frame forfeits the scan's output
+    partitioning and re-shuffles everything — the thing this module
+    exists to avoid)."""
+    if sig_dirs is None:
+        sig_dirs = committed_sigindex_dirs(root)
+    if not sig_dirs:
+        raise ValueError(f"no committed sigindex runs under {root}")
+    committed = {os.path.basename(d) for d in sig_dirs}
+
+    marker = _marker_path(root)
+    cover = None
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                cover = json.load(f)
+        except (OSError, ValueError):
+            cover = None
+    if cover is not None:
+        covered = set(cover.get("runs", []))
+        if (
+            covered
+            and covered <= committed
+            and _ensure_registered(spark, root, cover)
+        ):
+            parts = [spark.table(cover["table"])]
+            uncovered = sorted(committed - covered)
+            if uncovered:
+                parts.append(
+                    spark.read.parquet(
+                        *[
+                            os.path.join(root, "sigindex", r)
+                            for r in uncovered
+                        ]
+                    )
+                )
+            return parts
+        # covered ⊄ committed: the compactor renamed runs out from
+        # under the table (or the marker is empty) — stale, ignore it
+
+    return [spark.read.parquet(*sig_dirs)]
