@@ -111,6 +111,7 @@ HEADLINE = [
     "dedup_incremental",
     "dedup_incremental_online",
     "semdedup_two_level_cells",
+    "semdedup_two_level_pairs",
     "semantic_incremental",
     "corpus_final",
 ]
