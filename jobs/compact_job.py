@@ -30,9 +30,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--target-partitions", type=int, default=None)
     p.add_argument("--bucket-index", type=int, default=None, metavar="N",
                    help="after compacting, fold the root's committed "
-                        "sigindex into an N-bucket table "
-                        "(sinks/bucketed.py) so future --resume runs "
-                        "join it without an index-side shuffle")
+                        "cross-run state into an N-bucket table "
+                        "(sinks/bucketed.py): the band-signature "
+                        "index for a text-dedup root, the committed "
+                        "(cell, gb) vector layout for a semantic "
+                        "root — so future --resume runs join it "
+                        "without a committed-side shuffle")
     p.add_argument("--bucket-index-only", action="store_true",
                    help="skip the run compaction and only (re)build "
                         "the bucketed sigindex (requires "
@@ -57,13 +60,13 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"compacted: {metrics}")
     if args.bucket_index:
-        # runs AFTER the compaction consolidated/renamed the sigindex
-        # run dirs, so the fresh coverage marker names the surviving
-        # runs (a pre-compaction marker would be stale and ignored)
-        from onnxocr_spark.sinks.bucketed import bucketize_sigindex
+        # runs AFTER the compaction consolidated/renamed the run dirs,
+        # so the fresh coverage marker names the surviving runs (a
+        # pre-compaction marker would be stale and ignored)
+        from onnxocr_spark.sinks.bucketed import bucketize_root
 
-        cover = bucketize_sigindex(spark, args.root, args.bucket_index)
-        print(f"bucketized sigindex: {cover}")
+        cover = bucketize_root(spark, args.root, args.bucket_index)
+        print(f"bucketized: {cover}")
     if owns_session:
         spark.stop()
     return 0

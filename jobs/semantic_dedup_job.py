@@ -31,8 +31,13 @@ duplicates of retired vectors), committed-wins. Cross-run work is
 |new|·|committed|/C instead of the committed corpus's quadratic-over-
 cells rescan. Unlike the text job the committed VECTORS are re-read
 each resume (cosine needs the payloads — that linear read is inherent
-to semantic dedup and is the cheap part; the saved cost is the
-quadratic pair scan and the re-assignment, both gone).
+to semantic dedup); what is NOT inherent is re-SHUFFLING them on
+(cell, gb) every run, and after a maintenance bucketize
+(compact_job --bucket-index N → sinks/bucketed.bucketize_semvectors)
+the bipartite stage cogroups the committed side straight out of its
+(cell, gb) bucket files — zero committed-side Exchange, only the new
+batch moves; post-bucketize runs ride along as a plain parquet delta
+part until the next bucketize folds them in.
 
 Crash safety: the ledger is written last, so a mid-crash run
 contributes neither processed ids nor comparison vectors — its docs
@@ -146,15 +151,28 @@ def incremental_semantic_corpus(emb, output_root: str, threshold: float):
                 F.col("se").alias("embedding"))
     )
     c = seeds.count()
-    old_cells = spark.read.parquet(*(_dirs("data") + _dirs("retired")))
-    processed = old_cells.select("vec_id").distinct()
+    # Committed vectors as PARTS (sinks/bucketed.py): after a
+    # maintenance bucketize the big part scans out of (cell, gb)
+    # bucket files and the bipartite stage cogroups it shuffle-free —
+    # committed vectors never travel again; only the new batch moves.
+    # Post-bucketize runs ride along as a plain parquet delta part.
+    # Decisions are tiling-invariant, so parts change nothing.
+    from onnxocr_spark.sinks.bucketed import load_semvector_parts
+
+    old_parts = load_semvector_parts(spark, output_root,
+                                     sorted(committed))
+    pid = None
+    for part in old_parts:
+        ids = (part[0].select(F.col("vid").alias("vec_id"))
+               if isinstance(part, tuple) else part.select("vec_id"))
+        pid = ids if pid is None else pid.unionByName(ids)
+    processed = pid.distinct()
     batch = emb.join(processed, "vec_id", "left_anti").persist()
     new_cells = seed_cells(batch, c, seed_from=seeds).persist()
     n_new = batch.count()
-    n_old = old_cells.count()
     dec = incremental_semantic_decisions(
-        new_cells, old_cells, threshold, cells_hint=max(1, c),
-        n_new=n_new, n_old=n_old,
+        new_cells, old_parts, threshold, cells_hint=max(1, c),
+        n_new=n_new,
     )
     kept_ids = dec.filter("kept").select("vec_id")
 

@@ -574,9 +574,66 @@ def cosine_pairs_bipartite(
     )
 
 
+def cosine_pairs_bipartite_cogrouped(
+    a: DataFrame,
+    b_pre: DataFrame,
+    g: int,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """``cosine_pairs_bipartite`` for a PRE-GROUPED committed side:
+    ``b_pre`` carries (cell, gb, vid, vec) with gb computed at a FIXED
+    tile count ``g`` when the rows were persisted (sinks/bucketed.py's
+    vector layout, bucketed by (cell, gb)). The union-then-groupBy
+    shape of the generic op would discard the bucketed scan's output
+    partitioning (a union's partitioning is unknown), so this variant
+    COGROUPS the two sides instead: the committed side's scan already
+    satisfies the cogroup's ClusteredDistribution(cell, gb) straight
+    from its bucket files and adds NO Exchange — only the (small,
+    exploded) new side shuffles, into partitions matching the buckets.
+    That removes the one corpus-sized movement left in semantic
+    resume: committed vectors never travel again after the bucketize
+    maintenance pass.
+
+    The gb split is pure tiling — the emitted pair set is every
+    within-cell (a, b) with cosine ≥ threshold for ANY g — so reading
+    the persisted g from the layout marker instead of re-deriving it
+    from the current |B| is decision-invariant (pinned by the twin-root
+    job test)."""
+    aa = a.select(
+        F.col(cell_col).alias("cell"),
+        F.explode(F.sequence(F.lit(0), F.lit(g - 1))).alias("gb"),
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+    )
+
+    def cog_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        ma = np.stack(left["vec"].to_numpy()).astype(np.float64)
+        ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+        mb = np.stack(right["vec"].to_numpy()).astype(np.float64)
+        mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+        ii, jj = np.nonzero(ma @ mb.T >= threshold)
+        ids_a = left["vid"].to_numpy()[ii]
+        ids_b = right["vid"].to_numpy()[jj]
+        keep = ids_a != ids_b
+        return pd.DataFrame({"id_a": ids_a[keep].astype("int64"),
+                             "id_b": ids_b[keep].astype("int64")})
+
+    return (
+        aa.groupBy("cell", "gb")
+        .cogroup(b_pre.groupBy("cell", "gb"))
+        .applyInPandas(cog_fn, "id_a long, id_b long")
+    )
+
+
 def incremental_semantic_decisions(
     new_cells: DataFrame,
-    old_cells: DataFrame,
+    old_cells: DataFrame | list,
     threshold: float = 0.45,
     cells_hint: int = 1,
     block_rows: int = 1024,
@@ -596,20 +653,41 @@ def incremental_semantic_decisions(
     against ALL committed vectors — kept or retired, the transitive-dup
     lesson — with committed vertices negated so min-label CC is
     committed-wins under any id assignment. A new vector is kept iff
-    its component keeper is itself (absent from the graph ⇒ kept)."""
+    its component keeper is itself (absent from the graph ⇒ kept).
+
+    ``old_cells`` may be a LIST of committed parts (sinks/bucketed.py):
+    a plain DataFrame part runs the generic bipartite scan; a
+    ``(DataFrame, g)`` tuple is a pre-grouped part carrying
+    (cell, gb, vid, vec) from the bucketed vector layout and runs the
+    cogrouped scan, which reads the committed side shuffle-free. Parts
+    are scanned separately and their pair edges unioned — the split is
+    pure tiling, so the union over parts emits exactly the pair set
+    one whole-corpus scan would (pinned by the twin-root job test)."""
     from onnxocr_spark.operators.dedup import connected_component_keepers
 
     nn = cosine_pairs_blocked(
         new_cells, threshold, block_rows, id_col, vec_col,
         cell_col="cell", cells_hint=cells_hint, n_rows=n_new,
     )
-    no = cosine_pairs_bipartite(
-        new_cells, old_cells, threshold, block_rows, id_col, vec_col,
-        cell_col="cell", cells_hint=cells_hint, b_rows=n_old,
-    ).select(
-        F.col("id_a").alias("doc_a"),
-        (-F.col("id_b") - F.lit(1)).cast("bigint").alias("doc_b"),
-    )
+    parts = old_cells if isinstance(old_cells, (list, tuple)) else [old_cells]
+    no = None
+    for part in parts:
+        if isinstance(part, tuple):
+            pre, g = part
+            p = cosine_pairs_bipartite_cogrouped(
+                new_cells, pre, g, threshold, id_col, vec_col, "cell"
+            )
+        else:
+            p = cosine_pairs_bipartite(
+                new_cells, part, threshold, block_rows, id_col, vec_col,
+                cell_col="cell", cells_hint=cells_hint,
+                b_rows=n_old if len(parts) == 1 else None,
+            )
+        p = p.select(
+            F.col("id_a").alias("doc_a"),
+            (-F.col("id_b") - F.lit(1)).cast("bigint").alias("doc_b"),
+        )
+        no = p if no is None else no.unionByName(p)
     edges = nn.select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     ).unionByName(no)

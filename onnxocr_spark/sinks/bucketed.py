@@ -206,3 +206,189 @@ def load_sigindex_parts(
         # under the table (or the marker is empty) — stale, ignore it
 
     return [spark.read.parquet(*sig_dirs)]
+
+
+# ---------------------------------------------------------------------------
+# Semantic twin: bucketed committed-vector layout for the SemDeDup resume.
+#
+# jobs/semantic_dedup_job.py --resume re-reads ALL committed vectors
+# (kept + retired) every run — the linear read is inherent to cosine
+# comparison — but the bipartite pair scan then SHUFFLES them on
+# (cell, gb) every run, which at corpus scale is the expensive part of
+# the movement. Persisting the committed vectors bucketed by
+# (cell, gb) — gb precomputed at a fixed tile count g recorded in the
+# marker — lets the cogrouped scan
+# (similarity.cosine_pairs_bipartite_cogrouped) read them already
+# partitioned: zero committed-side Exchange, only the new batch moves.
+# The gb split is pure tiling (any g yields the identical pair set), so
+# the accelerator is decision-invariant like the sigindex table above.
+# ---------------------------------------------------------------------------
+
+VEC_BUCKET_COLS = ("cell", "gb")
+_VEC_LAYOUT = "vectors_bucketed"
+
+
+def semvector_table_name(root: str) -> str:
+    digest = hashlib.md5(os.path.abspath(root).encode()).hexdigest()[:12]
+    return f"semvec_{digest}"
+
+
+def _vec_marker_path(root: str) -> str:
+    return os.path.join(os.path.abspath(root), _VEC_LAYOUT, "_COVERS.json")
+
+
+def _vec_data_path(root: str) -> str:
+    return os.path.join(os.path.abspath(root), _VEC_LAYOUT, "data")
+
+
+def committed_semantic_runs(root: str) -> list[str]:
+    """Run ids whose ledger dir (the semantic job's commit marker)
+    landed _SUCCESS-complete."""
+    return sorted(
+        os.path.basename(d)[len("run="):]
+        for d in glob.glob(os.path.join(root, "ledger", "run=*"))
+        if os.path.exists(os.path.join(d, "_SUCCESS"))
+    )
+
+
+def _vec_dirs(root: str, run_ids: list[str]) -> list[str]:
+    dirs = []
+    for layout in ("data", "retired"):
+        for r in run_ids:
+            d = os.path.join(root, layout, f"run={r}")
+            if os.path.isdir(d):
+                dirs.append(d)
+    return dirs
+
+
+def bucketize_semvectors(
+    spark: SparkSession,
+    root: str,
+    n_buckets: int = 64,
+    block_rows: int = 1024,
+) -> dict:
+    """Fold the committed (vec_id, embedding, cell) rows of a semantic
+    dedup root into one (cell, gb, vid, vec) table bucketed by
+    (cell, gb). The tile count g = ceil(n / (block_rows · C)) is fixed
+    at bucketize time and recorded in the marker — resumes MUST reuse
+    it (the loader hands it back) so gb assignment matches the bucket
+    files."""
+    run_ids = committed_semantic_runs(root)
+    if not run_ids:
+        raise ValueError(f"no committed semantic runs under {root}")
+    vec_dirs = _vec_dirs(root, run_ids)
+    idx_dirs = [
+        d for d in glob.glob(os.path.join(root, "cellindex", "run=*"))
+        if os.path.basename(d)[len("run="):] in set(run_ids)
+    ]
+    if not vec_dirs or not idx_dirs:
+        raise ValueError(f"{root} does not look like a semantic dedup root")
+    n_cells = (
+        spark.read.parquet(*idx_dirs).dropDuplicates(["seed_id"]).count()
+    )
+    cells = spark.read.parquet(*vec_dirs)
+    n = cells.count()
+    g = max(1, -(-n // (block_rows * max(1, n_cells))))
+
+    table = semvector_table_name(root)
+    marker = _vec_marker_path(root)
+    data_path = _vec_data_path(root)
+    if os.path.exists(marker):
+        os.remove(marker)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if os.path.isdir(data_path):
+        shutil.rmtree(data_path)
+
+    pre = cells.select(
+        F.col("cell"),
+        F.pmod(F.col("vec_id"), F.lit(g)).cast("int").alias("gb"),
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("vec"),
+    )
+    (
+        pre.repartition(n_buckets, *[F.col(c) for c in VEC_BUCKET_COLS])
+        .write.format("parquet")
+        .bucketBy(n_buckets, *VEC_BUCKET_COLS)
+        .sortBy(*VEC_BUCKET_COLS)
+        .option("path", data_path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+    schema_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in spark.table(table).schema.fields
+    )
+    cover = {
+        "table": table,
+        "buckets": n_buckets,
+        "g": g,
+        "runs": run_ids,
+        "schema_ddl": schema_ddl,
+    }
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cover, f)
+    os.replace(tmp, marker)  # commit point
+    return cover
+
+
+def load_semvector_parts(
+    spark: SparkSession, root: str, run_ids: list[str] | None = None
+) -> list:
+    """Committed-vector parts for a semantic --resume, in the format
+    ``incremental_semantic_decisions`` consumes: a ``(DataFrame, g)``
+    tuple for the bucketed (cell, gb, vid, vec) table plus a plain
+    (vec_id, embedding, cell) DataFrame for any runs committed after
+    the last bucketize; or a single plain part when no valid marker
+    exists. Same staleness/fallback rules as the sigindex loader."""
+    if run_ids is None:
+        run_ids = committed_semantic_runs(root)
+    if not run_ids:
+        raise ValueError(f"no committed semantic runs under {root}")
+    committed = set(run_ids)
+
+    marker = _vec_marker_path(root)
+    cover = None
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                cover = json.load(f)
+        except (OSError, ValueError):
+            cover = None
+    if cover is not None:
+        covered = set(cover.get("runs", []))
+        data_path = _vec_data_path(root)
+        ok = covered and covered <= committed and os.path.isdir(data_path)
+        if ok:
+            table = cover["table"]
+            if not spark.catalog.tableExists(table):
+                cols = ", ".join(VEC_BUCKET_COLS)
+                spark.sql(
+                    f"CREATE TABLE {table} ({cover['schema_ddl']}) "
+                    f"USING PARQUET CLUSTERED BY ({cols}) "
+                    f"SORTED BY ({cols}) INTO {cover['buckets']} BUCKETS "
+                    f"LOCATION '{data_path}'"
+                )
+            parts: list = [(spark.table(table), int(cover["g"]))]
+            uncovered = sorted(committed - covered)
+            if uncovered:
+                parts.append(
+                    spark.read.parquet(*_vec_dirs(root, uncovered))
+                )
+            return parts
+
+    return [spark.read.parquet(*_vec_dirs(root, sorted(committed)))]
+
+
+def bucketize_root(spark: SparkSession, root: str, n_buckets: int = 64) -> dict:
+    """Dispatch for jobs/compact_job.py --bucket-index: a text-dedup
+    root (sigindex/ layout) gets the band-signature table, a semantic
+    root (cellindex/ layout) the committed-vector table."""
+    if glob.glob(os.path.join(root, "sigindex", "run=*")):
+        return bucketize_sigindex(spark, root, n_buckets)
+    if glob.glob(os.path.join(root, "cellindex", "run=*")):
+        return bucketize_semvectors(spark, root, n_buckets)
+    raise ValueError(
+        f"{root} has neither a sigindex/ nor a cellindex/ layout to bucketize"
+    )

@@ -64,7 +64,8 @@ def cleanup_tables(spark):
     before = {t.name for t in spark.catalog.listTables()}
     yield
     for t in spark.catalog.listTables():
-        if t.name.startswith("sigindex_") and t.name not in before:
+        if (t.name.startswith(("sigindex_", "semvec_"))
+                and t.name not in before):
             spark.sql(f"DROP TABLE IF EXISTS {t.name}")
 
 
@@ -299,3 +300,198 @@ def test_bucketize_via_compact_job_flag(spark, tmp_path, cleanup_tables):
     [part] = load_sigindex_parts(spark, root)
     sigs = {(r["band"], r["band_sig"]) for r in part.collect()}
     assert sigs  # consolidated index non-empty and table-backed
+
+
+# ---------------------------------------------------------------------------
+# Semantic twin: bucketed committed-vector layout (cell, gb).
+# ---------------------------------------------------------------------------
+
+VA = [1.0, 0.0, 0.0, 0.0]
+VB = [0.0, 1.0, 0.0, 0.0]
+VC = [0.0, 0.0, 1.0, 0.0]
+VD = [0.0, 0.0, 0.0, 1.0]
+VSCHEMA = "vec_id long, embedding array<double>"
+VB1 = [(0, VA), (1, VA), (2, VB), (3, VC)]          # 1 dups 0 → retired
+VB2 = [(10, VA),                                    # dup of RETIRED 1/0
+       (11, VB),                                    # dup of kept 2
+       (12, VD), (13, VD)]                          # new pair: keep 12
+VB3 = [(20, VD),                                    # dup of kept-in-r2 12
+       (21, [0.5, 0.5, 0.5, 0.5])]                  # cos 0.5 vs every axis
+
+
+def _vwrite(spark, tmp_path, name, rows):
+    p = str(tmp_path / name)
+    spark.createDataFrame(rows, VSCHEMA).write.parquet(p)
+    return p
+
+
+def _vdecisions(spark, root, run):
+    kept = {r.vec_id for r in spark.read.parquet(
+        f"{root}/data/run={run}").collect()}
+    retired = {r.vec_id for r in spark.read.parquet(
+        f"{root}/retired/run={run}").collect()}
+    return kept, retired
+
+
+def test_semantic_bucketized_resume_decides_identically(spark, tmp_path,
+                                                        cleanup_tables):
+    """Twin semantic roots: bucketizing the committed vectors between
+    runs must not change a single keep/retire decision — with the
+    table fully covering the history AND with a post-bucketize delta
+    run riding along as a plain part."""
+    import semantic_dedup_job
+    from onnxocr_spark.sinks.bucketed import (
+        bucketize_semvectors, load_semvector_parts, semvector_table_name,
+    )
+
+    src1 = _vwrite(spark, tmp_path, "b1", VB1)
+    src2 = _vwrite(spark, tmp_path, "b2", VB2)
+    src3 = _vwrite(spark, tmp_path, "b3", VB3)
+    plain = str(tmp_path / "plain")
+    fast = str(tmp_path / "fast")
+    for root in (plain, fast):
+        assert semantic_dedup_job.main(
+            ["--input", src1, "--output", root, "--run-id", "r1",
+             "--n-cells", "2"]) == 0
+    cover = bucketize_semvectors(spark, fast, n_buckets=8)
+    assert cover["table"] == semvector_table_name(fast)
+    assert cover["runs"] == ["r1"] and cover["g"] >= 1
+    [part] = load_semvector_parts(spark, fast)
+    assert isinstance(part, tuple) and part[1] == cover["g"]
+    for root in (plain, fast):
+        assert semantic_dedup_job.main(
+            ["--input", src2, "--output", root, "--run-id", "r2",
+             "--resume"]) == 0
+    assert _vdecisions(spark, plain, "r2") == _vdecisions(spark, fast, "r2")
+    kept2, retired2 = _vdecisions(spark, fast, "r2")
+    assert kept2 == {12} and retired2 == {10, 11, 13}
+
+    # r2 committed after the bucketize → table + plain delta part; the
+    # threshold-driven retire of 21 (cos 0.5 contact) must come out
+    # identically: 20 dups a DELTA vector, 21 contacts TABLE vectors
+    parts = load_semvector_parts(spark, fast)
+    assert len(parts) == 2 and isinstance(parts[0], tuple)
+    for root in (plain, fast):
+        assert semantic_dedup_job.main(
+            ["--input", src3, "--output", root, "--run-id", "r3",
+             "--resume"]) == 0
+    assert _vdecisions(spark, plain, "r3") == _vdecisions(spark, fast, "r3")
+    kept3, retired3 = _vdecisions(spark, fast, "r3")
+    assert kept3 == set() and retired3 == {20, 21}
+
+
+def test_semantic_cogroup_no_committed_side_exchange(spark, tmp_path,
+                                                     cleanup_tables):
+    """The cogrouped bipartite scan reads the bucketed committed
+    vectors WITHOUT an Exchange — only the exploded new side shuffles
+    — and still emits exactly the thresholded pairs."""
+    import semantic_dedup_job
+    from onnxocr_spark.operators.similarity import (
+        cosine_pairs_bipartite_cogrouped,
+    )
+    from onnxocr_spark.sinks.bucketed import (
+        bucketize_semvectors, load_semvector_parts,
+    )
+
+    src1 = _vwrite(spark, tmp_path, "b1", VB1)
+    root = str(tmp_path / "root")
+    assert semantic_dedup_job.main(
+        ["--input", src1, "--output", root, "--run-id", "r1",
+         "--n-cells", "2"]) == 0
+    bucketize_semvectors(spark, root, n_buckets=8)
+    [(pre, g)] = load_semvector_parts(spark, root)
+
+    # new vectors pre-assigned to the committed cells: 100 dups A,
+    # 101 is the cos-0.5 all-axes vector; cells must match the
+    # committed assignment, so derive them the production way
+    from onnxocr_spark.operators.similarity import seed_cells
+
+    seeds = (
+        spark.read.parquet(f"{root}/cellindex/run=r1")
+        .select(F.col("seed_id").alias("vec_id"),
+                F.col("se").alias("embedding"))
+    )
+    new = spark.createDataFrame(
+        [(100, VA), (101, [0.5, 0.5, 0.5, 0.5])], VSCHEMA)
+    new_cells = seed_cells(new, 2, seed_from=seeds)
+
+    pairs = cosine_pairs_bipartite_cogrouped(new_cells, pre, g,
+                                             threshold=0.45)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "Bucketed: true" in plan
+    assert plan.count("Exchange") == 1  # the exploded new side only
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # 100 (≡A) contacts committed 0 and 1; 101 contacts whichever
+    # committed vectors share its assigned cell at cos 0.5 — at least
+    # one; every emitted pair must satisfy the threshold
+    assert (100, 0) in got and (100, 1) in got
+    assert any(a == 101 for a, _ in got)
+    assert all(a in {100, 101} for a, _ in got)
+
+
+def test_semantic_degraded_states_fall_back(spark, tmp_path,
+                                            cleanup_tables):
+    """Marker gone / compaction-staled marker → plain parts; resume
+    still decides the pinned outcome; re-bucketize re-covers."""
+    import semantic_dedup_job
+    from onnxocr_spark.sinks.bucketed import (
+        _vec_marker_path, bucketize_semvectors, load_semvector_parts,
+    )
+    from onnxocr_spark.sinks.ledger import compact_runs
+
+    src1 = _vwrite(spark, tmp_path, "b1", VB1)
+    src2 = _vwrite(spark, tmp_path, "b2", VB2)
+    root = str(tmp_path / "root")
+    assert semantic_dedup_job.main(
+        ["--input", src1, "--output", root, "--run-id", "r1",
+         "--n-cells", "2"]) == 0
+    bucketize_semvectors(spark, root, n_buckets=8)
+    os.remove(_vec_marker_path(root))
+    [p] = load_semvector_parts(spark, root)
+    assert not isinstance(p, tuple)
+    assert any("/data/run=" in f or "/retired/run=" in f
+               for f in p.inputFiles())
+
+    bucketize_semvectors(spark, root, n_buckets=8)
+    compact_runs(spark, root, compacted_id="c1")
+    [p] = load_semvector_parts(spark, root)     # marker stale → plain
+    assert not isinstance(p, tuple)
+    assert semantic_dedup_job.main(
+        ["--input", src2, "--output", root, "--run-id", "r2",
+         "--resume"]) == 0
+    kept2, retired2 = _vdecisions(spark, root, "r2")
+    assert kept2 == {12} and retired2 == {10, 11, 13}
+    cover = bucketize_semvectors(spark, root, n_buckets=8)
+    assert set(cover["runs"]) == {"c1", "r2"}
+    [part] = load_semvector_parts(spark, root)
+    assert isinstance(part, tuple)
+
+
+def test_compact_job_dispatches_by_root_layout(spark, tmp_path,
+                                               cleanup_tables):
+    """--bucket-index auto-detects the root type: sigindex/ → band
+    table, cellindex/ → vector table."""
+    import compact_job
+    import dedup_job
+    import semantic_dedup_job
+    from onnxocr_spark.sinks.bucketed import (
+        semvector_table_name, sigindex_table_name,
+    )
+
+    tsrc = _write(spark, tmp_path, "t1", BATCH1)
+    troot = str(tmp_path / "text_root")
+    assert dedup_job.main(["--input", tsrc, "--output", troot,
+                           "--policy", "cc", "--run-id", "r1"]) == 0
+    assert compact_job.main(["--root", troot, "--bucket-index", "8",
+                             "--bucket-index-only"]) == 0
+    assert spark.catalog.tableExists(sigindex_table_name(troot))
+
+    vsrc = _vwrite(spark, tmp_path, "v1", VB1)
+    vroot = str(tmp_path / "sem_root")
+    assert semantic_dedup_job.main(
+        ["--input", vsrc, "--output", vroot, "--run-id", "r1",
+         "--n-cells", "2"]) == 0
+    assert compact_job.main(["--root", vroot, "--bucket-index", "8",
+                             "--bucket-index-only"]) == 0
+    assert spark.catalog.tableExists(semvector_table_name(vroot))
