@@ -1229,6 +1229,168 @@ FROM pii_docs
 """
 
 
+# --- URL canonicalization + URL-level dedup (late r5) ----------------------
+# The CommonCrawl-class pipeline stage with no coverage before: crawl
+# pipelines dedup by CANONICAL url before any content pass. The corpus
+# carries no urls, so — exactly the PII pattern — the fixture is built
+# IN-QUERY from doc_id residue classes, deliberately shaped so every
+# canonicalization rule CREATES collisions between raw-distinct urls:
+# mixed-case scheme/host (lowercased), www. prefix (stripped), default
+# ports :80/:443 (stripped; :8080 survives), trailing slash (stripped),
+# #fragment (dropped), utm_*/fbclid/gclid tracking params (removed) and
+# the survivors SORTED. Rules run on split_part/LIKE/lambda built-ins
+# spelled per-dialect (filter/sort_array/array_join/startswith vs
+# list_filter/list_sort/array_to_string/starts_with); the domain regex
+# avoids backslashes entirely ('[^.]+[.][^.]+$') — the Spark-escapes vs
+# DuckDB-raw string trap from the PII round. The param-list lambdas run
+# interpreted (Spark HOF), but over ≤3-element arrays — the CLAUDE.md
+# explode-over-lambda rule targets per-token fan-out, not this.
+_URL_FIXTURE_SPARK = """
+  SELECT doc_id,
+         concat(
+           CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END, '://',
+           CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+           'Host', CAST(doc_id % 5 AS STRING), '.Example.COM',
+           CASE WHEN doc_id % 5 = 0 THEN
+                  (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+                WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END,
+           '/p/', CAST(doc_id % 7 AS STRING),
+           CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+           CASE WHEN doc_id % 3 = 1 THEN
+                  concat('?utm_source=x&b=', CAST(doc_id % 2 AS STRING),
+                         '&a=1')
+                WHEN doc_id % 3 = 2 THEN '?a=1&utm_campaign=z'
+                ELSE '' END,
+           CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END
+         ) AS url
+  FROM documents
+"""
+_URL_FIXTURE_DUCK = _URL_FIXTURE_SPARK.replace("AS STRING", "AS VARCHAR")
+
+_URL_CTE_SPARK = f"""
+WITH urls AS ({_URL_FIXTURE_SPARK}),
+p1 AS (
+  SELECT doc_id, url, split_part(url, '#', 1) AS base FROM urls),
+p2 AS (
+  SELECT doc_id, url,
+         split_part(base, '?', 1) AS pre,
+         CASE WHEN base LIKE '%?%' THEN split_part(base, '?', 2)
+              ELSE '' END AS qs
+  FROM p1),
+p3 AS (
+  SELECT doc_id, url, qs,
+         lower(split_part(pre, '://', 1)) AS scheme,
+         split_part(pre, '://', 2) AS hostpath
+  FROM p2),
+p4 AS (
+  SELECT doc_id, url, qs, scheme,
+         split_part(hostpath, '/', 1) AS hostport,
+         substr(hostpath,
+                length(split_part(hostpath, '/', 1)) + 1) AS path_raw
+  FROM p3),
+p5 AS (
+  SELECT doc_id, url, qs, scheme,
+         CASE WHEN lower(split_part(hostport, ':', 1)) LIKE 'www.%'
+              THEN substr(lower(split_part(hostport, ':', 1)), 5)
+              ELSE lower(split_part(hostport, ':', 1)) END AS host,
+         split_part(hostport, ':', 2) AS port_raw,
+         CASE WHEN path_raw = '' THEN '/'
+              WHEN length(path_raw) > 1 AND path_raw LIKE '%/'
+              THEN substr(path_raw, 1, length(path_raw) - 1)
+              ELSE path_raw END AS path
+  FROM p4),
+p6 AS (
+  SELECT doc_id, url, scheme, host, path,
+         CASE WHEN port_raw = ''
+                   OR (scheme = 'http' AND port_raw = '80')
+                   OR (scheme = 'https' AND port_raw = '443')
+              THEN '' ELSE concat(':', port_raw) END AS port_part,
+         COALESCE(array_join(sort_array(filter(split(qs, '&'),
+             p -> p != '' AND NOT startswith(p, 'utm_')
+                  AND NOT startswith(p, 'fbclid=')
+                  AND NOT startswith(p, 'gclid='))), '&'), '') AS params
+  FROM p5),
+canon AS (
+  SELECT doc_id, url,
+         concat(scheme, '://', host, port_part, path,
+                CASE WHEN params = '' THEN ''
+                     ELSE concat('?', params) END) AS canon_url,
+         host,
+         regexp_extract(host, '[^.]+[.][^.]+$', 0) AS domain
+  FROM p6)
+"""
+
+_URL_CTE_DUCK = f"""
+WITH urls AS ({_URL_FIXTURE_DUCK}),
+p1 AS (
+  SELECT doc_id, url, split_part(url, '#', 1) AS base FROM urls),
+p2 AS (
+  SELECT doc_id, url,
+         split_part(base, '?', 1) AS pre,
+         CASE WHEN base LIKE '%?%' THEN split_part(base, '?', 2)
+              ELSE '' END AS qs
+  FROM p1),
+p3 AS (
+  SELECT doc_id, url, qs,
+         lower(split_part(pre, '://', 1)) AS scheme,
+         split_part(pre, '://', 2) AS hostpath
+  FROM p2),
+p4 AS (
+  SELECT doc_id, url, qs, scheme,
+         split_part(hostpath, '/', 1) AS hostport,
+         substr(hostpath,
+                length(split_part(hostpath, '/', 1)) + 1) AS path_raw
+  FROM p3),
+p5 AS (
+  SELECT doc_id, url, qs, scheme,
+         CASE WHEN lower(split_part(hostport, ':', 1)) LIKE 'www.%'
+              THEN substr(lower(split_part(hostport, ':', 1)), 5)
+              ELSE lower(split_part(hostport, ':', 1)) END AS host,
+         split_part(hostport, ':', 2) AS port_raw,
+         CASE WHEN path_raw = '' THEN '/'
+              WHEN length(path_raw) > 1 AND path_raw LIKE '%/'
+              THEN substr(path_raw, 1, length(path_raw) - 1)
+              ELSE path_raw END AS path
+  FROM p4),
+p6 AS (
+  SELECT doc_id, url, scheme, host, path,
+         CASE WHEN port_raw = ''
+                   OR (scheme = 'http' AND port_raw = '80')
+                   OR (scheme = 'https' AND port_raw = '443')
+              THEN '' ELSE concat(':', port_raw) END AS port_part,
+         COALESCE(
+             array_to_string(list_sort(list_filter(string_split(qs, '&'),
+                 p -> p != '' AND NOT starts_with(p, 'utm_')
+                      AND NOT starts_with(p, 'fbclid=')
+                      AND NOT starts_with(p, 'gclid='))), '&'),
+             '') AS params
+  FROM p5),
+canon AS (
+  SELECT doc_id, url,
+         concat(scheme, '://', host, port_part, path,
+                CASE WHEN params = '' THEN ''
+                     ELSE concat('?', params) END) AS canon_url,
+         host,
+         regexp_extract(host, '[^.]+[.][^.]+$', 0) AS domain
+  FROM p6)
+"""
+
+_URL_CANON_SELECT = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, url, canon_url, host, domain
+FROM canon ORDER BY doc_id
+"""
+_URL_CANON_SPARK = _URL_CTE_SPARK + _URL_CANON_SELECT
+_URL_CANON_DUCK = _URL_CTE_DUCK + _URL_CANON_SELECT
+
+_URL_DEDUP_SELECT = """
+SELECT canon_url, MIN(CAST(doc_id AS BIGINT)) AS keeper,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM canon GROUP BY canon_url ORDER BY canon_url
+"""
+_URL_DEDUP_SPARK = _URL_CTE_SPARK + _URL_DEDUP_SELECT
+_URL_DEDUP_DUCK = _URL_CTE_DUCK + _URL_DEDUP_SELECT
+
+
 def q_corpus_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed END PRODUCT of the whole text pipeline in one
     query (r5): a doc reaches the final corpus iff it (a) survives the
@@ -2786,16 +2948,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # OCR pipeline (rows-only where OCR text is not SQL-derivable)
         "ocr_extract": q_ocr_extract,
-        "ocr_text_passthrough": q_ocr_text_passthrough,
         "ocr_media_structure": q_ocr_media_structure,
         "ocr_media_text": q_ocr_media_text,
-        "ocr_boxes_texts": q_ocr_boxes_texts,
         "ocr_metrics": q_ocr_metrics,
         "pdf_pages_text": q_pdf_pages_text,
         # relational skeleton
         # training-data pipeline ops
         "pii_stats": _sqlq(_PII_STATS_SPARK),
         "pii_scrub": _sqlq(_PII_SCRUB_SPARK),
+        "url_canonicalize": _sqlq(_URL_CANON_SPARK),
+        "url_dedup_keepers": _sqlq(_URL_DEDUP_SPARK),
         "corpus_final": q_corpus_final,
         "boilerplate_removed_corpus": _sqlq_fanout(_BOILER_REMOVED_SPARK),
         "decontaminated_corpus": _sqlq_fanout(_DECONTAM_CLEAN_SPARK),
@@ -2840,9 +3002,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_chunks": _sqlq_fanout(_BOILERPLATE_SPARK),
         # --- tail: outside the driver's 50-row window ---
         # long-stable (green driver rows in r1–r4, unchanged since;
-        # event_sessionization rotated out in r5 after two green rounds
-        # to make window room for semdedup_two_level_pairs)
+        # rotated out late-r5 to make window room for
+        # semdedup_two_level_pairs + the two url queries:
+        # event_sessionization, and the r1/r2-era OCR trivia
+        # ocr_text_passthrough / ocr_boxes_texts whose kernels the
+        # in-window ocr_extract / ocr_media_* rows still cover)
         "event_sessionization": _sqlq(_SESSIONS_SQL),
+        "ocr_text_passthrough": q_ocr_text_passthrough,
+        "ocr_boxes_texts": q_ocr_boxes_texts,
         "lang_id": _sqlq(_LANG_ID),
         "source_stats": _sqlq(_SOURCE_STATS_SPARK),
         "top_terms": _sqlq(_TOP_TERMS_SPARK),
@@ -2900,6 +3067,8 @@ def oracle_sql() -> dict[str, str]:
         "q3_top_orders": _Q3,
         "pii_stats": _PII_STATS_DUCK,
         "pii_scrub": _PII_SCRUB_DUCK,
+        "url_canonicalize": _URL_CANON_DUCK,
+        "url_dedup_keepers": _URL_DEDUP_DUCK,
         "corpus_final": _CORPUS_FINAL_DUCK,
         "boilerplate_removed_corpus": _BOILER_REMOVED_DUCK,
         "decontaminated_corpus": _DECONTAM_CLEAN_DUCK,
