@@ -43,6 +43,12 @@ Crash safety: the ledger is written last, so a mid-crash run
 contributes neither processed ids nor comparison vectors — its docs
 are fully re-decided by the next resume; re-submit the same run-id to
 replace its orphan dirs (the idempotent-overwrite contract).
+
+Streaming ingestion (late r5): ``streaming_semantic_sink`` wraps the
+same incremental decision as a foreachBatch sink — micro-batched
+resume with deterministic per-batch run ids, exactly-once across
+restarts via the ledger marker. See its docstring for why foreachBatch
+(not applyInPandasWithState) is the right Spark shape here.
 """
 
 from __future__ import annotations
@@ -188,6 +194,102 @@ def incremental_semantic_corpus(emb, output_root: str, threshold: float):
     )
 
 
+def commit_run(spark, output_root: str, run_id: str, kept, retired,
+               cellindex, batch, threshold: float, source_path: str) -> dict:
+    """Write one semantic run's dirs under the shared layout and
+    publish the ledger LAST (the commit marker — a crash before it
+    leaves orphan dirs that contribute nothing; re-submitting the same
+    run_id overwrites them, the idempotent contract). Shared by the
+    spark-submit main() and the streaming sink."""
+    import json
+    import os
+
+    data_dir = os.path.join(output_root, "data", f"run={run_id}")
+    kept.write.mode("overwrite").parquet(data_dir)
+    retired_dir = os.path.join(output_root, "retired", f"run={run_id}")
+    retired.write.mode("overwrite").parquet(retired_dir)
+    if cellindex is not None:
+        idx_dir = os.path.join(output_root, "cellindex", f"run={run_id}")
+        cellindex.write.mode("overwrite").parquet(idx_dir)
+    n_in = batch.count()
+    # the ledger is the COMMIT MARKER — written last
+    ledger_dir = os.path.join(output_root, "ledger", f"run={run_id}")
+    (
+        spark.read.parquet(data_dir).select("vec_id")
+        .unionByName(spark.read.parquet(retired_dir).select("vec_id"))
+        .distinct()
+        .write.mode("overwrite").parquet(ledger_dir)
+    )
+    n_kept = spark.read.parquet(data_dir).count()
+    n_retired = spark.read.parquet(retired_dir).count()
+    side_dir = os.path.join(output_root, "metrics", "_sidecars")
+    os.makedirs(side_dir, exist_ok=True)
+    metrics = {
+        "run_id": run_id,
+        "policy": "semantic",
+        "threshold": threshold,
+        "source_path": source_path,
+        "docs_in": n_in,
+        "docs_kept": n_kept,
+        "docs_retired": n_retired,
+        "wall_clock_unix": time.time(),
+    }
+    with open(os.path.join(side_dir, f"run_{run_id}.json"), "w") as f:
+        json.dump(metrics, f)
+    assert n_kept + n_retired == n_in
+    return metrics
+
+
+def streaming_semantic_sink(output_root: str, threshold: float = 0.45):
+    """foreachBatch sink: streaming ingestion with semantic dedup.
+
+    Semantic dedup's cross-batch state is the committed CORPUS itself
+    (cosine needs every committed vector's payload), so an
+    applyInPandasWithState formulation would accumulate unbounded
+    vector payloads in the state store — the wrong Spark shape. The
+    right one is micro-batched resume: each micro-batch runs the SAME
+    ``incremental_semantic_corpus`` decision the batch job's --resume
+    runs (assign into the founding cells, new-new CC + new-old
+    bipartite contact — reading the committed side through the bucketed
+    (cell, gb) layout when one exists) and commits an ordinary run dir,
+    so downstream consumers cannot tell streamed batches from batch
+    ones, and the stream output IS proven identical to sequential
+    --resume runs by construction plus the pinned twin-root test.
+
+    Exactly-once across restarts comes from the deterministic per-batch
+    run id + ledger-last marker: a replayed micro-batch whose ledger
+    already committed is skipped whole; one that crashed mid-write left
+    no ledger, contributes nothing, and is fully re-decided on replay.
+
+    The root must hold a committed FOUNDING run (the job without
+    --resume) — same contract as --resume. Usage::
+
+        (stream.writeStream
+         .foreachBatch(streaming_semantic_sink(root))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    """
+    import os
+
+    def _process(batch_df, batch_id: int) -> None:
+        run_id = f"s{batch_id:09d}"
+        led = os.path.join(output_root, "ledger", f"run={run_id}")
+        if os.path.exists(os.path.join(led, "_SUCCESS")):
+            return  # restart replay of a committed micro-batch
+        spark = batch_df.sparkSession
+        kept, retired, cleanup, batch = incremental_semantic_corpus(
+            batch_df.select("vec_id", "embedding"), output_root, threshold
+        )
+        metrics = commit_run(
+            spark, output_root, run_id, kept, retired, None, batch,
+            threshold, f"stream:batch={batch_id}",
+        )
+        cleanup()
+        print(f"committed streaming semantic batch {batch_id}: {metrics}")
+
+    return _process
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True)
@@ -224,44 +326,12 @@ def main(argv: list[str] | None = None) -> int:
         )
         batch = emb
 
-    data_dir = os.path.join(args.output, "data", f"run={run_id}")
-    kept.write.mode("overwrite").parquet(data_dir)
-    retired_dir = os.path.join(args.output, "retired", f"run={run_id}")
-    retired.write.mode("overwrite").parquet(retired_dir)
-    if cellindex is not None:
-        idx_dir = os.path.join(args.output, "cellindex", f"run={run_id}")
-        cellindex.write.mode("overwrite").parquet(idx_dir)
-    n_in = batch.count()
-    # the ledger is the COMMIT MARKER — written last
-    ledger_dir = os.path.join(args.output, "ledger", f"run={run_id}")
-    (
-        spark.read.parquet(data_dir).select("vec_id")
-        .unionByName(spark.read.parquet(retired_dir).select("vec_id"))
-        .distinct()
-        .write.mode("overwrite").parquet(ledger_dir)
+    metrics = commit_run(
+        spark, args.output, run_id, kept, retired, cellindex, batch,
+        args.threshold, args.input,
     )
     cleanup()
-
-    n_kept = spark.read.parquet(data_dir).count()
-    n_retired = spark.read.parquet(retired_dir).count()
-    import json
-
-    side_dir = os.path.join(args.output, "metrics", "_sidecars")
-    os.makedirs(side_dir, exist_ok=True)
-    metrics = {
-        "run_id": run_id,
-        "policy": "semantic",
-        "threshold": args.threshold,
-        "source_path": args.input,
-        "docs_in": n_in,
-        "docs_kept": n_kept,
-        "docs_retired": n_retired,
-        "wall_clock_unix": time.time(),
-    }
-    with open(os.path.join(side_dir, f"run_{run_id}.json"), "w") as f:
-        json.dump(metrics, f)
     print(f"committed semantic dedup run {run_id}: {metrics}")
-    assert n_kept + n_retired == n_in
     if owns_session:
         spark.stop()
     return 0

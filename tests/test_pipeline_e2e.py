@@ -557,6 +557,102 @@ def test_semantic_dedup_job_initial_resume_compact(spark, tmp_path):
     assert retired4 == {20, 21}
 
 
+def test_streaming_semantic_sink_matches_sequential_resumes(spark, tmp_path):
+    """Streaming semantic dedup (late r5): the foreachBatch sink runs
+    the SAME incremental decision per micro-batch that sequential
+    `--resume` runs make — cumulative kept/retired sets must be
+    identical on twin roots fed the same batches (one streamed, one
+    batch-resumed), including on a BUCKETIZED root (the sink reads the
+    committed side through the (cell, gb) layout). Exactly-once: a
+    replayed micro-batch whose ledger committed is skipped whole."""
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import semantic_dedup_job
+    from onnxocr_spark.sinks.bucketed import bucketize_semvectors
+
+    A = [1.0, 0.0, 0.0, 0.0]
+    B = [0.0, 1.0, 0.0, 0.0]
+    C = [0.0, 0.0, 1.0, 0.0]
+    D = [0.0, 0.0, 0.0, 1.0]
+    b1 = [(0, A), (1, A), (2, B), (3, C)]
+    b2 = [(10, A), (11, B), (12, D), (13, D)]
+    b3 = [(20, D), (21, [0.5, 0.5, 0.5, 0.5])]
+    schema = "vec_id long, embedding array<double>"
+    src1 = str(tmp_path / "b1")
+    spark.createDataFrame(b1, schema).write.parquet(src1)
+
+    stream_root = str(tmp_path / "stream")
+    batch_root = str(tmp_path / "batch")
+    fast_root = str(tmp_path / "fast")
+    for root in (stream_root, batch_root, fast_root):
+        assert semantic_dedup_job.main(
+            ["--input", src1, "--output", root, "--run-id", "r1",
+             "--n-cells", "2"]) == 0
+    bucketize_semvectors(spark, fast_root, n_buckets=8)
+
+    # stage b2/b3 as one file per micro-batch, mtime-ordered
+    sdir = str(tmp_path / "vstream")
+    os.makedirs(sdir)
+    for i, rows in enumerate((b2, b3)):
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]).to_parquet(
+            f"{sdir}/part-{i}.parquet"
+        )
+        os.utime(f"{sdir}/part-{i}.parquet", (1000 * (i + 1),) * 2)
+
+    for root, ckpt in ((stream_root, "ck1"), (fast_root, "ck2")):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(sdir)
+        )
+        q = (
+            stream.writeStream
+            .foreachBatch(semantic_dedup_job.streaming_semantic_sink(root))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # batch twin: sequential --resume runs
+    for i, rows in enumerate((b2, b3)):
+        src = str(tmp_path / f"bb{i}")
+        spark.createDataFrame(rows, schema).write.parquet(src)
+        assert semantic_dedup_job.main(
+            ["--input", src, "--output", batch_root,
+             "--run-id", f"r{i + 2}", "--resume"]) == 0
+
+    def _cumulative(root):
+        from onnxocr_spark.sinks.ledger import read_output
+
+        kept = {r.vec_id for r in read_output(spark, root).collect()}
+        import glob as _g
+
+        ret_dirs = _g.glob(f"{root}/retired/run=*")
+        retired = {r.vec_id for r in
+                   spark.read.parquet(*ret_dirs).collect()}
+        return kept, retired
+
+    expect = _cumulative(batch_root)
+    assert _cumulative(stream_root) == expect
+    assert _cumulative(fast_root) == expect
+    kept_all, retired_all = expect
+    assert kept_all == {0, 2, 3, 12}
+    assert retired_all == {1, 10, 11, 13, 20, 21}
+
+    # replay of a committed micro-batch is a no-op: feed an empty df
+    # under an already-committed batch id — the run dir must keep its
+    # decisions (an overwrite would empty it)
+    sink = semantic_dedup_job.streaming_semantic_sink(stream_root)
+    sink(spark.createDataFrame([], schema), 1)
+    n = spark.read.parquet(
+        f"{stream_root}/retired/run=s000000001").count()
+    assert n == 2  # batch 1 (b3) retired {20, 21}
+
+
 def test_extreme_skew_single_doc_many_media(spark):
     """One document carrying 40 media spans (pathological skew): the
     round-robin balance must spread it and reassembly must restore the
