@@ -286,12 +286,35 @@ def incremental_corpus(docs, output_root: str, policy: str = "cc"):
                 f"committed runs' {sorted(prior)}"
             )
 
-    processed = (
-        spark.read.parquet(*led_dirs).select("doc_id")
-        .unionByName(spark.read.parquet(*ret_dirs).select("doc_id"))
-        .distinct()
+    # already-processed skip as chained LEFT ANTI joins over id PARTS
+    # (sinks/bucketed.py): with a bucketed procids table the big part
+    # anti-joins shuffle-free and pre-distincted (anti-join semantics
+    # absorb duplicate build rows, so the plain-path distinct is gone
+    # too — the union of parts is the exact committed id set)
+    from onnxocr_spark.sinks.bucketed import load_processed_parts
+
+    def _id_delta_dirs(run_names: list[str]) -> list[str]:
+        return [
+            d
+            for layout in ("ledger", "retired")
+            for r in run_names
+            if os.path.isdir(
+                d := os.path.join(output_root, layout, f"run={r}")
+            )
+        ]
+
+    proc_parts = load_processed_parts(
+        spark,
+        output_root,
+        "sigindex",
+        plain_dirs=led_dirs + ret_dirs,
+        committed_runs={os.path.basename(d)[len("run="):]
+                        for d in sig_dirs},
+        delta_dirs_of=_id_delta_dirs,
     )
-    docs = docs.join(processed, "doc_id", "left_anti").persist()
+    for part in proc_parts:
+        docs = docs.join(part.select("doc_id"), "doc_id", "left_anti")
+    docs = docs.persist()
     # The index arrives as one or more PARTS (sinks/bucketed.py): when
     # a maintenance pass has bucketized the accumulated sigindex, the
     # big part scans straight out of bucket files pre-partitioned on

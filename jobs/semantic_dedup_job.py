@@ -163,17 +163,34 @@ def incremental_semantic_corpus(emb, output_root: str, threshold: float):
     # committed vectors never travel again; only the new batch moves.
     # Post-bucketize runs ride along as a plain parquet delta part.
     # Decisions are tiling-invariant, so parts change nothing.
-    from onnxocr_spark.sinks.bucketed import load_semvector_parts
+    from onnxocr_spark.sinks.bucketed import (
+        load_processed_parts, load_semvector_parts,
+    )
 
     old_parts = load_semvector_parts(spark, output_root,
                                      sorted(committed))
-    pid = None
-    for part in old_parts:
-        ids = (part[0].select(F.col("vid").alias("vec_id"))
-               if isinstance(part, tuple) else part.select("vec_id"))
-        pid = ids if pid is None else pid.unionByName(ids)
-    processed = pid.distinct()
-    batch = emb.join(processed, "vec_id", "left_anti").persist()
+    # already-processed skip: chained anti-joins over id parts — the
+    # bucketed procids table (written by bucketize_semvectors, covered
+    # by the same marker as the vector table) anti-joins shuffle-free;
+    # the semantic ledger already holds kept ∪ retired per run
+    def _led_dirs(run_names) -> list[str]:
+        return [
+            d for r in run_names
+            if os.path.isdir(
+                d := os.path.join(output_root, "ledger", f"run={r}")
+            )
+        ]
+
+    proc_parts = load_processed_parts(
+        spark, output_root, "semvec",
+        plain_dirs=_led_dirs(sorted(committed)),
+        committed_runs=set(committed),
+        delta_dirs_of=_led_dirs,
+    )
+    batch = emb
+    for part in proc_parts:
+        batch = batch.join(part.select("vec_id"), "vec_id", "left_anti")
+    batch = batch.persist()
     new_cells = seed_cells(batch, c, seed_from=seeds).persist()
     n_new = batch.count()
     dec = incremental_semantic_decisions(

@@ -131,12 +131,136 @@ def bucketize_sigindex(
         "runs": sorted(os.path.basename(d) for d in sig_dirs),
         "schema_ddl": schema_ddl,
     }
+    # processed-ids twin table (covered by the SAME marker, so both
+    # tables commit atomically): the resume's already-processed skip is
+    # an anti-join of the new batch against every committed ledger ∪
+    # retired id — at corpus scale that id set's distinct + anti-join
+    # shuffle is the other daily corpus-sized movement. Pre-distincted
+    # and bucketed by doc_id it anti-joins shuffle-free.
+    run_names = {os.path.basename(d)[len("run="):] for d in sig_dirs}
+    pid_dirs = [
+        d
+        for layout in ("ledger", "retired")
+        for d in glob.glob(os.path.join(root, layout, "run=*"))
+        if os.path.basename(d)[len("run="):] in run_names
+        and os.path.exists(os.path.join(d, "_SUCCESS"))
+    ]
+    if pid_dirs:
+        cover.update(
+            _write_procids_table(spark, root, pid_dirs, "doc_id", n_buckets)
+        )
     os.makedirs(os.path.dirname(marker), exist_ok=True)
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
         json.dump(cover, f)
     os.replace(tmp, marker)  # commit point
     return cover
+
+
+def _procids_table_name(root: str) -> str:
+    digest = hashlib.md5(os.path.abspath(root).encode()).hexdigest()[:12]
+    return f"procids_{digest}"
+
+
+def _procids_data_path(root: str) -> str:
+    return os.path.join(os.path.abspath(root), "procids_bucketed", "data")
+
+
+def _write_procids_table(
+    spark: SparkSession,
+    root: str,
+    id_dirs: list[str],
+    id_col: str,
+    n_buckets: int,
+) -> dict:
+    """(re)build the processed-ids table; returns the marker fields."""
+    table = _procids_table_name(root)
+    data_path = _procids_data_path(root)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if os.path.isdir(data_path):
+        shutil.rmtree(data_path)
+    ids = spark.read.parquet(*id_dirs).select(id_col).distinct()
+    (
+        ids.repartition(n_buckets, F.col(id_col))
+        .write.format("parquet")
+        .bucketBy(n_buckets, id_col)
+        .sortBy(id_col)
+        .option("path", data_path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in spark.table(table).schema.fields
+    )
+    return {
+        "procids_table": table,
+        "procids_schema_ddl": ddl,
+        "procids_id_col": id_col,
+    }
+
+
+def _ensure_procids_registered(
+    spark: SparkSession, root: str, cover: dict
+) -> bool:
+    data_path = _procids_data_path(root)
+    if "procids_table" not in cover or not os.path.isdir(data_path):
+        return False
+    table = cover["procids_table"]
+    if not spark.catalog.tableExists(table):
+        col = cover["procids_id_col"]
+        spark.sql(
+            f"CREATE TABLE {table} ({cover['procids_schema_ddl']}) "
+            f"USING PARQUET CLUSTERED BY ({col}) SORTED BY ({col}) "
+            f"INTO {cover['buckets']} BUCKETS LOCATION '{data_path}'"
+        )
+    return True
+
+
+def load_processed_parts(
+    spark: SparkSession,
+    root: str,
+    kind: str,
+    plain_dirs: list[str],
+    committed_runs: set[str],
+    delta_dirs_of,
+) -> list[DataFrame]:
+    """Processed-id parts for the already-committed skip: the bucketed
+    procids table (when the root's coverage marker is valid and carries
+    one) plus the plain id dirs of runs committed after the bucketize;
+    else one plain part. ``delta_dirs_of(uncovered_run_names)`` maps
+    uncovered run names to their id dirs. Consumers chain LEFT ANTI
+    joins over the parts (set difference against the union — exact,
+    order-independent), which keeps the bucketed part's scan
+    exchange-free and never needs a distinct: anti-join semantics
+    ignore duplicate build-side rows. ``kind`` picks which layout's
+    coverage marker governs: 'sigindex' (text roots) or 'semvec'
+    (semantic roots)."""
+    marker_file = (_marker_path(root) if kind == "sigindex"
+                   else _vec_marker_path(root))
+    cover = None
+    if os.path.exists(marker_file):
+        try:
+            with open(marker_file) as f:
+                cover = json.load(f)
+        except (OSError, ValueError):
+            cover = None
+    if cover is not None:
+        covered = {r[len("run="):] if r.startswith("run=") else r
+                   for r in cover.get("runs", [])}
+        if (
+            covered
+            and covered <= committed_runs
+            and _ensure_procids_registered(spark, root, cover)
+        ):
+            parts = [spark.table(cover["procids_table"])]
+            uncovered = sorted(committed_runs - covered)
+            if uncovered:
+                delta = delta_dirs_of(uncovered)
+                if delta:
+                    parts.append(spark.read.parquet(*delta))
+            return parts
+    return [spark.read.parquet(*plain_dirs)]
 
 
 def _ensure_registered(spark: SparkSession, root: str, cover: dict) -> bool:
@@ -325,6 +449,17 @@ def bucketize_semvectors(
         "runs": run_ids,
         "schema_ddl": schema_ddl,
     }
+    # processed-ids twin: the semantic ledger already holds each run's
+    # kept ∪ retired ids pre-distincted, so it is the procids source
+    pid_dirs = [
+        os.path.join(root, "ledger", f"run={r}")
+        for r in run_ids
+        if os.path.isdir(os.path.join(root, "ledger", f"run={r}"))
+    ]
+    if pid_dirs:
+        cover.update(
+            _write_procids_table(spark, root, pid_dirs, "vec_id", n_buckets)
+        )
     os.makedirs(os.path.dirname(marker), exist_ok=True)
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:

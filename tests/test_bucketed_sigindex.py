@@ -495,3 +495,43 @@ def test_compact_job_dispatches_by_root_layout(spark, tmp_path,
     assert compact_job.main(["--root", vroot, "--bucket-index", "8",
                              "--bucket-index-only"]) == 0
     assert spark.catalog.tableExists(semvector_table_name(vroot))
+
+
+def test_procids_table_covers_skip_and_anti_joins_unshuffled(
+        spark, tmp_path, cleanup_tables):
+    """The same bucketize pass writes the processed-ids twin table
+    (one marker covers both): its content is exactly ledger ∪ retired
+    distinct, and the new-batch LEFT ANTI join against it reads the
+    id side bucketed with the only Exchange on the new side."""
+    import dedup_job
+    from onnxocr_spark.sinks.bucketed import (
+        _procids_table_name, bucketize_sigindex,
+    )
+
+    src1 = _write(spark, tmp_path, "b1", BATCH1)
+    root = str(tmp_path / "root")
+    assert dedup_job.main(["--input", src1, "--output", root,
+                           "--policy", "cc", "--run-id", "r1"]) == 0
+    cover = bucketize_sigindex(spark, root, n_buckets=8)
+    assert cover["procids_id_col"] == "doc_id"
+    ids = {r.doc_id for r in spark.table(cover["procids_table"]).collect()}
+    led = {r.doc_id for r in spark.read.parquet(
+        f"{root}/ledger/run=r1").collect()}
+    ret = {r.doc_id for r in spark.read.parquet(
+        f"{root}/retired/run=r1").collect()}
+    assert ids == led | ret == {0, 1, 2, 3, 4, 5}
+    assert cover["procids_table"] == _procids_table_name(root)
+
+    new = spark.createDataFrame([(2,), (99,)], "doc_id long")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        anti = new.join(spark.table(cover["procids_table"]),
+                        "doc_id", "left_anti")
+        plan = anti._jdf.queryExecution().executedPlan().toString()
+        got = {r.doc_id for r in anti.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == {99}
+    assert "LeftAnti" in plan and "Bucketed: true" in plan
+    assert plan.count("Exchange") == 1
