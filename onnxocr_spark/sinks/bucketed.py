@@ -235,9 +235,13 @@ def load_processed_parts(
     exchange-free and never needs a distinct: anti-join semantics
     ignore duplicate build-side rows. ``kind`` picks which layout's
     coverage marker governs: 'sigindex' (text roots) or 'semvec'
-    (semantic roots)."""
-    marker_file = (_marker_path(root) if kind == "sigindex"
-                   else _vec_marker_path(root))
+    (semantic roots) or 'extract' (extraction roots, standalone
+    marker)."""
+    marker_file = {
+        "sigindex": _marker_path,
+        "semvec": _vec_marker_path,
+        "extract": _extract_marker_path,
+    }[kind](root)
     cover = None
     if os.path.exists(marker_file):
         try:
@@ -516,14 +520,60 @@ def load_semvector_parts(
     return [spark.read.parquet(*_vec_dirs(root, sorted(committed)))]
 
 
+def _extract_marker_path(root: str) -> str:
+    return os.path.join(
+        os.path.abspath(root), "procids_bucketed", "_COVERS.json"
+    )
+
+
+def bucketize_extraction_ids(
+    spark: SparkSession, root: str, n_buckets: int = 64
+) -> dict:
+    """Processed-ids table for an EXTRACTION root (jobs/extract_job.py):
+    only the ids — there is no cross-run index to bucket, but the
+    resume's anti-join against every committed ledger id is the same
+    daily corpus-sized movement the dedup roots had. Covers LEDGERED
+    runs only; orphan data dirs (crashed between data and ledger
+    writes) keep flowing through `committed_doc_id_parts`' plain
+    orphan union, so the crash-consistency contract is untouched.
+    Standalone marker (these roots have no index marker to share)."""
+    led_dirs = sorted(
+        d
+        for d in glob.glob(os.path.join(root, "ledger", "run=*"))
+        if os.path.exists(os.path.join(d, "_SUCCESS"))
+    )
+    if not led_dirs:
+        raise ValueError(f"no committed ledger runs under {root}")
+    marker = _extract_marker_path(root)
+    if os.path.exists(marker):
+        os.remove(marker)  # void old coverage before the rebuild
+    cover = {
+        "buckets": n_buckets,
+        "runs": sorted(os.path.basename(d)[len("run="):]
+                       for d in led_dirs),
+    }
+    cover.update(
+        _write_procids_table(spark, root, led_dirs, "doc_id", n_buckets)
+    )
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cover, f)
+    os.replace(tmp, marker)  # commit point
+    return cover
+
+
 def bucketize_root(spark: SparkSession, root: str, n_buckets: int = 64) -> dict:
     """Dispatch for jobs/compact_job.py --bucket-index: a text-dedup
     root (sigindex/ layout) gets the band-signature table, a semantic
-    root (cellindex/ layout) the committed-vector table."""
+    root (cellindex/ layout) the committed-vector table, a plain
+    extraction root (ledger/ only) the processed-ids table."""
     if glob.glob(os.path.join(root, "sigindex", "run=*")):
         return bucketize_sigindex(spark, root, n_buckets)
     if glob.glob(os.path.join(root, "cellindex", "run=*")):
         return bucketize_semvectors(spark, root, n_buckets)
+    if glob.glob(os.path.join(root, "ledger", "run=*")):
+        return bucketize_extraction_ids(spark, root, n_buckets)
     raise ValueError(
-        f"{root} has neither a sigindex/ nor a cellindex/ layout to bucketize"
+        f"{root} has no sigindex/, cellindex/ or ledger/ layout to bucketize"
     )

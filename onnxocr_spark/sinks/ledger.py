@@ -352,7 +352,61 @@ def committed_doc_ids(spark: SparkSession, root: str) -> DataFrame:
     return out.distinct()
 
 
+def committed_doc_id_parts(
+    spark: SparkSession, root: str
+) -> list[DataFrame]:
+    """`committed_doc_ids` as PARTS for chained anti-joins: the
+    bucketed processed-ids table when one covers the ledgered history
+    (sinks/bucketed.bucketize_extraction_ids — its scan anti-joins
+    without a committed-side Exchange) plus the plain ledger dirs of
+    runs committed since, else one recursive ledger read; orphan data
+    dirs (crashed between data and ledger writes) ALWAYS ride along as
+    plain parts regardless of the marker — the data-dirs-authoritative
+    crash rule is not the accelerator's to relax. Anti-join semantics
+    absorb duplicate ids across parts, so no distinct is needed."""
+    parts: list[DataFrame] = []
+    ledgered = _run_dirs(_ledger_path(root))
+    if ledgered:
+        from onnxocr_spark.sinks.bucketed import load_processed_parts
+
+        def _delta(run_names):
+            return [
+                d for r in run_names
+                if os.path.isdir(
+                    d := os.path.join(_ledger_path(root), f"run={r}")
+                )
+            ]
+
+        parts.extend(
+            p.select("doc_id")
+            for p in load_processed_parts(
+                spark,
+                root,
+                "extract",
+                plain_dirs=[os.path.join(_ledger_path(root), r)
+                            for r in sorted(ledgered)],
+                committed_runs={r[len("run="):] for r in ledgered},
+                delta_dirs_of=_delta,
+            )
+        )
+    orphans = _run_dirs(_data_path(root)) - ledgered
+    for run in sorted(orphans):
+        try:
+            parts.append(
+                spark.read.parquet(
+                    os.path.join(_data_path(root), run)
+                ).select("doc_id")
+            )
+        except Exception:
+            pass  # partially-written dir with no readable footers: redo it
+    return parts
+
+
 def pending_documents(docs: DataFrame, root: str) -> DataFrame:
-    """Resume filter: input documents not yet committed (left_anti)."""
-    done = committed_doc_ids(docs.sparkSession, root)
-    return docs.join(done, on="doc_id", how="left_anti")
+    """Resume filter: input documents not yet committed — chained
+    left-anti joins over the committed-id parts (set difference
+    against their union; the bucketed part, when present, contributes
+    no committed-side shuffle)."""
+    for part in committed_doc_id_parts(docs.sparkSession, root):
+        docs = docs.join(part, on="doc_id", how="left_anti")
+    return docs

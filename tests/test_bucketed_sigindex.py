@@ -535,3 +535,99 @@ def test_procids_table_covers_skip_and_anti_joins_unshuffled(
     assert got == {99}
     assert "LeftAnti" in plan and "Bucketed: true" in plan
     assert plan.count("Exchange") == 1
+
+
+def test_extraction_root_procids_accelerator(spark, tmp_path,
+                                             cleanup_tables):
+    """Extraction roots get the ids-only treatment via the compact-job
+    dispatch: pending_documents anti-joins the bucketed table without
+    a committed-side Exchange, orphan data dirs (crashed before their
+    ledger write) still count as committed regardless of the marker,
+    and a missing marker falls back to the plain ledger read."""
+    import compact_job
+    from onnxocr_spark.sinks.bucketed import (
+        _extract_marker_path, _procids_table_name,
+    )
+    from onnxocr_spark.sinks.ledger import (
+        committed_doc_id_parts, pending_documents, write_with_ledger,
+    )
+
+    root = str(tmp_path / "xroot")
+    docs1 = spark.createDataFrame(
+        [(0,), (1,), (2,)], "doc_id long"
+    ).selectExpr(
+        "doc_id",
+        "array(named_struct('kind', 'text', 'text', 'hello', "
+        "'media_ref', '', 'offset', 0)) AS spans",
+    )
+    write_with_ledger(docs1, root, "r1")
+    assert compact_job.main(["--root", root, "--bucket-index", "8",
+                             "--bucket-index-only"]) == 0
+    assert spark.catalog.tableExists(_procids_table_name(root))
+
+    new = spark.createDataFrame(
+        [(1, "b"), (9, "z")], "doc_id long, text string")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        pend = pending_documents(new, root)
+        plan = pend._jdf.queryExecution().executedPlan().toString()
+        got = {r.doc_id for r in pend.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == {9}
+    assert "LeftAnti" in plan and "Bucketed: true" in plan
+    assert plan.count("Exchange") == 1
+
+    # orphan data dir (no ledger) is authoritative even though the
+    # marker doesn't cover it: its doc must be skipped too
+    spark.createDataFrame([(50, "o")], "doc_id long, text string") \
+        .write.parquet(f"{root}/data/run=orph")
+    parts = committed_doc_id_parts(spark, root)
+    assert len(parts) == 2  # bucketed table + orphan plain part
+    got = {r.doc_id for r in pending_documents(
+        spark.createDataFrame([(50, "o"), (60, "n")],
+                              "doc_id long, text string"), root).collect()}
+    assert got == {60}
+
+    # marker gone → plain ledger fallback, same answers
+    os.remove(_extract_marker_path(root))
+    got = {r.doc_id for r in pending_documents(
+        spark.createDataFrame([(1, "b"), (50, "o"), (61, "n")],
+                              "doc_id long, text string"), root).collect()}
+    assert got == {61}
+
+
+def test_extraction_procids_stale_after_compaction(spark, tmp_path,
+                                                   cleanup_tables):
+    """compact_runs renames the ledgered history, so a procids marker
+    written before it no longer covers a subset of the committed runs;
+    load_processed_parts must detect that and fall back to the plain
+    ledger read — decisions identical, never a silent skip-miss."""
+    import compact_job
+    from onnxocr_spark.sinks.bucketed import _extract_marker_path
+    from onnxocr_spark.sinks.ledger import (
+        compact_runs, pending_documents, write_with_ledger,
+    )
+
+    root = str(tmp_path / "xroot2")
+    for run, ids in (("r1", [0, 1]), ("r2", [2, 3])):
+        write_with_ledger(
+            spark.createDataFrame([(i,) for i in ids], "doc_id long")
+            .selectExpr(
+                "doc_id",
+                "array(named_struct('kind', 'text', 'text', 't', "
+                "'media_ref', '', 'offset', 0)) AS spans",
+            ),
+            root, run,
+        )
+    assert compact_job.main(["--root", root, "--bucket-index", "8",
+                             "--bucket-index-only"]) == 0
+    compact_runs(spark, root)
+    assert os.path.exists(_extract_marker_path(root))  # stale, not gone
+    pend = pending_documents(
+        spark.createDataFrame([(2, "b"), (7, "n")],
+                              "doc_id long, text string"), root)
+    plan = pend._jdf.queryExecution().executedPlan().toString()
+    assert {r.doc_id for r in pend.collect()} == {7}
+    assert "Bucketed: true" not in plan  # plain fallback, no stale reads
