@@ -2296,6 +2296,101 @@ FROM (
 ) GROUP BY user_id
 """
 
+def q_event_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (temporal attribution): each purchase event gets the
+    user's latest click at-or-before it. Spark side runs the union-tag
+    single-window shape from `operators/temporal.py` (one hash exchange
+    on user_id, ZERO join nodes — the naive theta-join+argmax is
+    O(|l|·|r|) per key); the oracle is the independent naive LEFT JOIN
+    + ROW_NUMBER argmax, so the shapes prove each other."""
+    from onnxocr_spark.operators.temporal import asof_join
+
+    _register(spark, sf_dir)
+    ev = spark.table("events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        left, right, keys=["user_id"], ts="ts", tie="event_id",
+        right_cols=["event_id", "value"],
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("r_event_id").alias("click_id"),
+        F.col("r_value").alias("click_value"),
+    )
+
+
+# Oracle: naive formulation on purpose (theta LEFT JOIN + per-left-row
+# argmax by (ts, event_id) DESC) — independent of the Spark window
+# shape. click_value is carried verbatim (no arithmetic) so the DOUBLE
+# hashes bit-identically.
+_ASOF_DUCK = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT l.event_id AS purchase_id, l.user_id,
+         r.event_id AS click_id, r.value AS click_value,
+         ROW_NUMBER() OVER (
+           PARTITION BY l.event_id
+           ORDER BY r.ts DESC NULLS LAST, r.event_id DESC
+         ) AS rn
+  FROM l LEFT JOIN r
+    ON l.user_id = r.user_id AND r.ts <= l.ts
+)
+SELECT purchase_id, user_id, click_id, click_value FROM j WHERE rn = 1
+"""
+
+
+def q_event_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: for each error event, the user's click
+    events in the following 24 h ([ts, ts+24h)), aggregated to an exact
+    BIGINT count + MIN follow id (no float aggregates — SUM(value)
+    would be reassociation-sensitive). Spark side is the 2-bin
+    quantized equi-join from `operators/temporal.py` (no BNLJ, shuffle
+    volume 2·|l|+|r|); the oracle is the raw inequality join DuckDB can
+    afford at oracle scale."""
+    from onnxocr_spark.operators.temporal import range_join_bucketed
+
+    _register(spark, sf_dir)
+    ev = spark.table("events")
+    left = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    pairs = range_join_bucketed(
+        left, right, keys=["user_id"], ts="ts",
+        lo_us=0, hi_us=24 * 3600 * 1_000_000,
+        right_cols=["event_id"],
+    )
+    return pairs.groupBy(
+        F.col("event_id").alias("error_id"), F.col("user_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_follow"),
+        F.min("r_event_id").alias("first_follow_id"),
+    )
+
+
+_RANGE_JOIN_DUCK = """
+SELECT l.event_id AS error_id, l.user_id,
+       CAST(count(*) AS BIGINT) AS n_follow,
+       MIN(r.event_id) AS first_follow_id
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'error' AND r.event_type = 'click'
+ AND r.ts >= l.ts AND r.ts < l.ts + INTERVAL 24 HOUR
+GROUP BY l.event_id, l.user_id
+"""
+
+
 # top-k terms across the corpus (classic corpus-stats aggregation)
 _TOP_TERMS_SPARK = """
 SELECT tok, CAST(count(*) AS BIGINT) AS n
@@ -2982,6 +3077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_two_level_cells": q_semdedup_two_level_cells,
         "semdedup_two_level_pairs": q_semdedup_two_level_pairs,
         "semantic_incremental": q_semantic_incremental,
+        "event_asof_attribution": q_event_asof_attribution,
+        "event_range_join": q_event_range_join,
         "html_main_content": q_html_main_content,
         "doc_fingerprint": _sqlq(_FINGERPRINT),
         "doc_rolling_hash": _sqlq(_ROLLHASH_SPARK),
@@ -2993,8 +3090,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": q_multimodal_audio_features,
         "multimodal_audio_haar": q_multimodal_audio_haar,
         "multimodal_video_frames": q_multimodal_video_frames,
-        "quality_score": _sqlq(_QUALITY_SPARK),
-        "token_count": _sqlq(_TOKEN_COUNT_SPARK),
         "token_count_bpe": _sqlq(_TOKEN_BPE_SPARK),
         "chunk_documents": _sqlq_fanout(_CHUNK_SPARK),
         "stratified_sample": _sqlq(_STRATSAMPLE_SPARK),
@@ -3006,7 +3101,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # semdedup_two_level_pairs + the two url queries:
         # event_sessionization, and the r1/r2-era OCR trivia
         # ocr_text_passthrough / ocr_boxes_texts whose kernels the
-        # in-window ocr_extract / ocr_media_* rows still cover)
+        # in-window ocr_extract / ocr_media_* rows still cover;
+        # quality_score / token_count rotated out for the two temporal
+        # joins — both pure-SQL trivia green in every driver round
+        # since r2, and quality_score_full still covers the kernel)
+        "quality_score": _sqlq(_QUALITY_SPARK),
+        "token_count": _sqlq(_TOKEN_COUNT_SPARK),
         "event_sessionization": _sqlq(_SESSIONS_SQL),
         "ocr_text_passthrough": q_ocr_text_passthrough,
         "ocr_boxes_texts": q_ocr_boxes_texts,
@@ -3106,6 +3206,8 @@ def oracle_sql() -> dict[str, str]:
         "token_rarity_stats": _RARITY_DUCK,
         "boilerplate_chunks": _BOILERPLATE_DUCK,
         "event_sessionization": _SESSIONS_SQL,
+        "event_asof_attribution": _ASOF_DUCK,
+        "event_range_join": _RANGE_JOIN_DUCK,
         "html_main_content": _HTML_MAIN_DUCK,
         "doc_fingerprint": _FINGERPRINT,
         "doc_rolling_hash": _ROLLHASH_DUCK,

@@ -114,6 +114,8 @@ HEADLINE = [
     "semdedup_two_level_pairs",
     "semantic_incremental",
     "corpus_final",
+    "event_asof_attribution",
+    "event_range_join",
 ]
 # set =1 to skip the multi-JVM scaling section (quick query iteration)
 _SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
