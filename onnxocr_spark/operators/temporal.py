@@ -34,11 +34,13 @@ The shapes used here instead:
   equi-join (salt upstream if one key dominates).
 
 Scale notes: both shapes shuffle by the join keys, so a single
-pathological key (one user with 10^9 events) serializes within its
-partition — that is inherent to per-key ordered semantics; the escape
-hatch is range-partitioning within the key by time with boundary
-carry-over, not needed at the shipped workloads. Timestamps compare
-as exact integer microseconds (`unix_micros`), never floats.
+pathological key (one user with 10^9 events) would serialize within
+its partition under the default path — inherent to per-key ordered
+semantics. `asof_join(slice_width_us=…)` is the built escape hatch:
+time-sliced per-(key, slice) scans with a per-key prefix scan over
+per-slice tails (boundary carry-over), pinned output-identical to the
+default path. Timestamps compare as exact integer microseconds,
+never floats.
 """
 
 from __future__ import annotations
@@ -83,13 +85,24 @@ def asof_join(
     tie: str,
     right_cols: list[str],
     prefix: str = "r_",
+    slice_width_us: int | None = None,
 ) -> DataFrame:
     """For every left row, attach `right_cols` from the latest right
     row with the same `keys` and right.ts <= left.ts (at-or-equal;
     ties among right rows at one timestamp go to the greatest `tie`).
     Left rows with no prior right row keep NULLs (left-outer as-of).
 
-    One hash exchange on `keys`, one window, zero join nodes.
+    Default path: one hash exchange on `keys`, one window, zero join
+    nodes. A single pathological key still serializes inside its
+    partition (inherent to a per-key ordered scan), so
+    `slice_width_us` is the skew escape hatch: time is cut into fixed
+    slices, the ordered scan runs per (key, slice) — parallel WITHIN
+    the hot key — and cross-slice visibility is restored by a per-key
+    prefix scan over the per-slice LAST-right tails (one row per
+    (key, slice), not per event) joined back and coalesced under the
+    in-slice hit. Output is pinned identical to the default path
+    (tests/test_temporal.py); cost is one extra small aggregation +
+    one equi-join on (keys, slice) that reuses the same partitioning.
     """
     carried = F.struct(*[F.col(c) for c in right_cols]).alias("_asof")
     r = right.select(
@@ -105,16 +118,50 @@ def asof_join(
         F.lit(1).alias("_tag"), F.lit(None).cast(r.schema["_asof"].dataType).alias("_asof"),
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("_ts", "_tag", "_tie")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    out = (
-        r.unionByName(l)
-        .withColumn("_hit", F.last("_asof", ignorenulls=True).over(w))
-        .where(F.col("_tag") == 1)
-    )
+    u = r.unionByName(l)
+    if slice_width_us is None:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("_ts", "_tag", "_tie")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = u.withColumn(
+            "_hit", F.last("_asof", ignorenulls=True).over(w)
+        ).where(F.col("_tag") == 1)
+    else:
+        if slice_width_us <= 0:
+            raise ValueError("slice_width_us must be positive")
+        u = u.withColumn("_slice", _floor_div(_epoch_micros(u, "_ts"), slice_width_us))
+        w_in = (
+            Window.partitionBy(*keys, "_slice")
+            .orderBy("_ts", "_tag", "_tie")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # last RIGHT row per (key, slice); max_by skips NULL ordinals,
+        # so slices with no right rows yield a NULL tail (and every
+        # (key, slice) that has ANY row appears, which is exactly the
+        # set the join back needs to cover).
+        tails = u.groupBy(*keys, "_slice").agg(
+            F.max_by(
+                F.col("_asof"),
+                F.when(F.col("_tag") == 0, F.struct("_ts", "_tie")),
+            ).alias("_tail")
+        )
+        w_carry = (
+            Window.partitionBy(*keys)
+            .orderBy("_slice")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carries = tails.select(
+            *keys, "_slice",
+            F.last("_tail", ignorenulls=True).over(w_carry).alias("_carry"),
+        )
+        out = (
+            u.withColumn("_hit_in", F.last("_asof", ignorenulls=True).over(w_in))
+            .where(F.col("_tag") == 1)
+            .join(carries, on=keys + ["_slice"], how="left")
+            .withColumn("_hit", F.coalesce("_hit_in", "_carry"))
+        )
     return out.select(
         *[F.col(f"_l_{c}").alias(c) for c in left.columns],
         *[F.col(f"_hit.{c}").alias(f"{prefix}{c}") for c in right_cols],

@@ -127,6 +127,39 @@ def test_range_join_plan_is_equi_join(fixture):
     assert "Join" in plan and "_bin" in plan
 
 
+@pytest.mark.parametrize("width_s", [7, 40, 1000])
+def test_asof_sliced_identical_to_default(fixture, width_s):
+    # slice widths chosen so the fixture spans many/few/one slice(s):
+    # carry must cross empty slices and slices holding only left rows.
+    left, right = fixture
+    kw = dict(keys=["k"], ts="ts", tie="rid", right_cols=["rid", "v"])
+    base = sorted(map(tuple, asof_join(left, right, **kw).collect()))
+    sliced = sorted(map(tuple, asof_join(
+        left, right, slice_width_us=width_s * 1_000_000, **kw
+    ).collect()))
+    assert sliced == base
+
+
+def test_asof_sliced_hot_key(spark):
+    # one hot key with interleaved rights/lefts across many slices;
+    # brute-force oracle, slice boundary exactly between events.
+    n = 400
+    rows_r = [Row(rid=i, k="hot", ts=_ts(3 * i), v=float(i)) for i in range(0, n, 2)]
+    rows_l = [Row(lid=i, k="hot", ts=_ts(3 * i + 1)) for i in range(n)]
+    right = spark.createDataFrame(rows_r).repartition(8)
+    left = spark.createDataFrame(rows_l).repartition(8)
+    out = asof_join(
+        left, right, keys=["k"], ts="ts", tie="rid",
+        right_cols=["rid"], slice_width_us=50_000_000,
+    ).collect()
+    got = {r["lid"]: r["r_rid"] for r in out}
+    assert len(got) == n
+    for i in range(n):
+        # right rid=e (even) sits at t=3e; latest with 3e <= 3i+1 is
+        # e = i rounded down to even.
+        assert got[i] == i - (i % 2), i
+
+
 def test_asof_duplicate_left_rows_both_survive(spark):
     # genuinely duplicate left rows must each get the attribution
     left = spark.createDataFrame(
