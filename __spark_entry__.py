@@ -1391,6 +1391,40 @@ _URL_DEDUP_SPARK = _URL_CTE_SPARK + _URL_DEDUP_SELECT
 _URL_DEDUP_DUCK = _URL_CTE_DUCK + _URL_DEDUP_SELECT
 
 
+def q_domain_quota_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota cap (RefinedWeb-style): keep at most 3 docs
+    per canonical host, chosen by deterministic md5 order (no RNG —
+    resumable). Runs the SALTED two-phase top-K from
+    `operators/quota.py` (salt_buckets=8: a hot domain's scan becomes
+    8 parallel partial sorts; stage 2 ranks <= 8*3 survivors), which
+    is pinned output-identical to the single-window shape the oracle
+    re-derives with a plain ROW_NUMBER."""
+    from onnxocr_spark.operators.quota import top_k_per_key
+
+    _register(spark, sf_dir)
+    canon = spark.sql(_URL_CANON_SPARK).select("host", "doc_id")
+    ordered = canon.withColumn(
+        "_ord", F.md5(F.concat(F.lit("q"), F.col("doc_id").cast("string")))
+    )
+    out = top_k_per_key(
+        ordered, keys=["host"], order_cols=["_ord", "doc_id"], k=3,
+        rank_col="rk", salt_buckets=8,
+    )
+    return out.select("host", "doc_id", "rk")
+
+
+_DOMAIN_QUOTA_DUCK = _URL_CTE_DUCK + """
+SELECT host, doc_id, rk FROM (
+  SELECT host, CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY host
+           ORDER BY md5(concat('q', CAST(doc_id AS VARCHAR))), doc_id
+         ) AS BIGINT) AS rk
+  FROM canon)
+WHERE rk <= 3
+"""
+
+
 def q_corpus_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed END PRODUCT of the whole text pipeline in one
     query (r5): a doc reaches the final corpus iff it (a) survives the
@@ -2403,6 +2437,87 @@ FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
 GROUP BY tok ORDER BY n DESC, tok LIMIT 20
 """
 
+# Count-min sketch heavy hitters: D=4 deterministic md5-derived hash
+# rows x W=256 buckets. The sketch state is D*W counters built by a
+# map-side-combined groupBy after an explode fan-out (the shuffle
+# carries at most D*W rows per partition regardless of corpus size —
+# THAT is the 100-TB story: frequency estimation with 1 KB of state
+# instead of a vocabulary-sized exact aggregation). The query probes
+# the exact top-20 terms and emits exact vs sketch counts side by
+# side, which both validates the sketch (cms_count >= exact_count,
+# equality unless a bucket collides) and pins both engines to the
+# same md5 bucket derivation. At corpus scale only the cells CTE
+# survives; the exact side here is the oracle-scale validation rig,
+# same discipline as dedup_simhash_pairs' brute-force recall proof.
+_CMS_SPARK = """
+WITH toks AS (
+  SELECT tok FROM documents LATERAL VIEW explode(split(text, ' ')) t AS tok
+),
+ex AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact_count FROM toks GROUP BY tok
+),
+td AS (
+  SELECT tok, d,
+         CAST(conv(substr(md5(concat(CAST(d AS STRING), ':', tok)), 1, 8),
+                   16, 10) AS BIGINT) % 256 AS bucket
+  FROM toks LATERAL VIEW explode(sequence(0, 3)) s AS d
+),
+cells AS (
+  SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM td GROUP BY d, bucket
+),
+probes AS (
+  SELECT tok, exact_count FROM ex ORDER BY exact_count DESC, tok LIMIT 20
+),
+pd AS (
+  SELECT tok, exact_count, d,
+         CAST(conv(substr(md5(concat(CAST(d AS STRING), ':', tok)), 1, 8),
+                   16, 10) AS BIGINT) % 256 AS bucket
+  FROM probes LATERAL VIEW explode(sequence(0, 3)) s AS d
+)
+SELECT p.tok, p.exact_count, MIN(c.cnt) AS cms_count
+FROM pd p JOIN cells c ON p.d = c.d AND p.bucket = c.bucket
+GROUP BY p.tok, p.exact_count
+ORDER BY p.exact_count DESC, p.tok
+"""
+_CMS_DUCK = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+ex AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact_count FROM toks GROUP BY tok
+),
+t0 AS (
+  SELECT tok, unnest(range(0, 4)) AS d FROM toks
+),
+td AS (
+  SELECT tok, d,
+         CAST(('0x' || substr(md5(concat(CAST(d AS VARCHAR), ':', tok)),
+                              1, 8))::UBIGINT % 256 AS BIGINT) AS bucket
+  FROM t0
+),
+cells AS (
+  SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM td GROUP BY d, bucket
+),
+probes AS (
+  SELECT tok, exact_count FROM ex ORDER BY exact_count DESC, tok LIMIT 20
+),
+p0 AS (
+  SELECT tok, exact_count, unnest(range(0, 4)) AS d FROM probes
+),
+pd AS (
+  SELECT tok, exact_count, d,
+         CAST(('0x' || substr(md5(concat(CAST(d AS VARCHAR), ':', tok)),
+                              1, 8))::UBIGINT % 256 AS BIGINT) AS bucket
+  FROM p0
+)
+SELECT p.tok, p.exact_count, MIN(c.cnt) AS cms_count
+FROM pd p JOIN cells c ON p.d = c.d AND p.bucket = c.bucket
+GROUP BY p.tok, p.exact_count
+ORDER BY p.exact_count DESC, p.tok
+"""
+
 # fuller quality metrics: token/char counts, punctuation count,
 # stopword ratio (training-data quality scoring)
 _QUALITY_FULL_SPARK = """
@@ -3053,6 +3168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _sqlq(_PII_SCRUB_SPARK),
         "url_canonicalize": _sqlq(_URL_CANON_SPARK),
         "url_dedup_keepers": _sqlq(_URL_DEDUP_SPARK),
+        "domain_quota_keepers": q_domain_quota_keepers,
+        "heavy_hitters_cms": _sqlq(_CMS_SPARK),
         "corpus_final": q_corpus_final,
         "boilerplate_removed_corpus": _sqlq_fanout(_BOILER_REMOVED_SPARK),
         "decontaminated_corpus": _sqlq_fanout(_DECONTAM_CLEAN_SPARK),
@@ -3084,13 +3201,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_hash": _sqlq(_ROLLHASH_SPARK),
         "lang_id_ngram": q_lang_id_ngram,
         "lang_confusion": q_lang_confusion,
-        "decontaminate_overlap": _sqlq_fanout(_DECONTAM_SPARK),
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_image_dims": q_multimodal_image_dims,
         "multimodal_audio_features": q_multimodal_audio_features,
         "multimodal_audio_haar": q_multimodal_audio_haar,
         "multimodal_video_frames": q_multimodal_video_frames,
-        "token_count_bpe": _sqlq(_TOKEN_BPE_SPARK),
         "chunk_documents": _sqlq_fanout(_CHUNK_SPARK),
         "stratified_sample": _sqlq(_STRATSAMPLE_SPARK),
         "token_rarity_stats": _sqlq_fanout(_RARITY_SPARK),
@@ -3103,10 +3218,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ocr_text_passthrough / ocr_boxes_texts whose kernels the
         # in-window ocr_extract / ocr_media_* rows still cover;
         # quality_score / token_count rotated out for the two temporal
-        # joins — both pure-SQL trivia green in every driver round
-        # since r2, and quality_score_full still covers the kernel)
+        # joins, token_count_bpe / decontaminate_overlap for the
+        # domain-quota + CMS queries — all four are pure-SQL entries
+        # green in every driver round since r2/r3, and the in-window
+        # quality_score_full / decontaminated_corpus rows still cover
+        # the same kernels)
         "quality_score": _sqlq(_QUALITY_SPARK),
         "token_count": _sqlq(_TOKEN_COUNT_SPARK),
+        "token_count_bpe": _sqlq(_TOKEN_BPE_SPARK),
+        "decontaminate_overlap": _sqlq_fanout(_DECONTAM_SPARK),
         "event_sessionization": _sqlq(_SESSIONS_SQL),
         "ocr_text_passthrough": q_ocr_text_passthrough,
         "ocr_boxes_texts": q_ocr_boxes_texts,
@@ -3169,6 +3289,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _PII_SCRUB_DUCK,
         "url_canonicalize": _URL_CANON_DUCK,
         "url_dedup_keepers": _URL_DEDUP_DUCK,
+        "domain_quota_keepers": _DOMAIN_QUOTA_DUCK,
+        "heavy_hitters_cms": _CMS_DUCK,
         "corpus_final": _CORPUS_FINAL_DUCK,
         "boilerplate_removed_corpus": _BOILER_REMOVED_DUCK,
         "decontaminated_corpus": _DECONTAM_CLEAN_DUCK,
