@@ -1695,6 +1695,39 @@ SELECT doc_id,
 FROM documents
 """
 
+# Robust winnowing (MOSS) fingerprints + local text-reuse pairs — the
+# construction, the packed-key argmin trick, and the {idiv} dialect
+# trap live in operators/textreuse.py. DuckDB re-derives the k-grams
+# via 3 positional self-joins (the oracle-side analog of the narrow
+# Spark explode), then runs the SAME windowed-selection tail.
+from onnxocr_spark.operators.textreuse import (  # noqa: E402
+    FINGERPRINTS_SELECT as _WINNOW_FP_SELECT,
+    REUSE_PAIRS_SELECT as _REUSE_PAIRS_SELECT,
+    TEXT_REUSE_PAIRS_SQL as _REUSE_PAIRS_SPARK,
+    WINNOW_FINGERPRINTS_SQL as _WINNOW_FP_SPARK,
+    WINNOW_TAIL_DUCK as _WINNOW_TAIL_DUCK,
+)
+
+_WINNOW_KV_DUCK = """
+toks AS (SELECT doc_id,
+                generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+                unnest(string_split(text, ' ')) AS tok
+         FROM documents),
+kv AS (
+  SELECT a.doc_id, a.pos,
+         ('0x' || substr(md5(a.tok || ' ' || b.tok || ' ' || c.tok
+                         || ' ' || d.tok), 1, 15))::BIGINT
+           % 2147483647 AS h
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+              JOIN toks d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
+),
+"""
+_WINNOW_FP_DUCK = "WITH " + _WINNOW_KV_DUCK + _WINNOW_TAIL_DUCK + _WINNOW_FP_SELECT
+_REUSE_PAIRS_DUCK = (
+    "WITH " + _WINNOW_KV_DUCK + _WINNOW_TAIL_DUCK + _REUSE_PAIRS_SELECT
+)
+
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (ids only), exact, via the
@@ -3199,6 +3232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_content": q_html_main_content,
         "doc_fingerprint": _sqlq(_FINGERPRINT),
         "doc_rolling_hash": _sqlq(_ROLLHASH_SPARK),
+        "winnow_fingerprints": _sqlq_fanout(_WINNOW_FP_SPARK),
+        "text_reuse_pairs": _sqlq_fanout(_REUSE_PAIRS_SPARK),
         "lang_id_ngram": q_lang_id_ngram,
         "lang_confusion": q_lang_confusion,
         "multimodal_image_features": q_multimodal_image_features,
@@ -3208,9 +3243,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_frames": q_multimodal_video_frames,
         "chunk_documents": _sqlq_fanout(_CHUNK_SPARK),
         "stratified_sample": _sqlq(_STRATSAMPLE_SPARK),
+        # --- tail: outside the driver's 50-row window ---
+        # token_rarity_stats / boilerplate_chunks rotated out for the
+        # two winnowing queries (r4-era, green driver rows since; the
+        # in-window boilerplate_removed_corpus still covers the
+        # boilerplate kernel end-to-end)
         "token_rarity_stats": _sqlq_fanout(_RARITY_SPARK),
         "boilerplate_chunks": _sqlq_fanout(_BOILERPLATE_SPARK),
-        # --- tail: outside the driver's 50-row window ---
         # long-stable (green driver rows in r1–r4, unchanged since;
         # rotated out late-r5 to make window room for
         # semdedup_two_level_pairs + the two url queries:
@@ -3333,6 +3372,8 @@ def oracle_sql() -> dict[str, str]:
         "html_main_content": _HTML_MAIN_DUCK,
         "doc_fingerprint": _FINGERPRINT,
         "doc_rolling_hash": _ROLLHASH_DUCK,
+        "winnow_fingerprints": _WINNOW_FP_DUCK,
+        "text_reuse_pairs": _REUSE_PAIRS_DUCK,
         "dedup_embedding_cosine": _EMB_COS_PAIRS_DUCK,
         "dedup_embedding_cosine_bucketed": _EMB_COS_BUCKETED_DUCK,
         "dedup_semantic_keepers": _SEMANTIC_KEEPERS_DUCK,
