@@ -1728,6 +1728,14 @@ _REUSE_PAIRS_DUCK = (
     "WITH " + _WINNOW_KV_DUCK + _WINNOW_TAIL_DUCK + _REUSE_PAIRS_SELECT
 )
 
+# TF-IDF-style keyword retrieval with exact rational idf weights (no
+# float enters the operator — see operators/retrieval.py for why ln
+# can't cross a hash-compared oracle).
+from onnxocr_spark.operators.retrieval import (  # noqa: E402
+    TFIDF_TOPK_DUCK as _TFIDF_DUCK,
+    TFIDF_TOPK_SQL as _TFIDF_SPARK,
+)
+
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (ids only), exact, via the
@@ -3234,6 +3242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_hash": _sqlq(_ROLLHASH_SPARK),
         "winnow_fingerprints": _sqlq_fanout(_WINNOW_FP_SPARK),
         "text_reuse_pairs": _sqlq_fanout(_REUSE_PAIRS_SPARK),
+        "tfidf_topk": _sqlq_fanout(_TFIDF_SPARK),
         "lang_id_ngram": q_lang_id_ngram,
         "lang_confusion": q_lang_confusion,
         "multimodal_image_features": q_multimodal_image_features,
@@ -3242,12 +3251,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_haar": q_multimodal_audio_haar,
         "multimodal_video_frames": q_multimodal_video_frames,
         "chunk_documents": _sqlq_fanout(_CHUNK_SPARK),
-        "stratified_sample": _sqlq(_STRATSAMPLE_SPARK),
         # --- tail: outside the driver's 50-row window ---
         # token_rarity_stats / boilerplate_chunks rotated out for the
-        # two winnowing queries (r4-era, green driver rows since; the
-        # in-window boilerplate_removed_corpus still covers the
-        # boilerplate kernel end-to-end)
+        # two winnowing queries, stratified_sample for tfidf_topk
+        # (all r4-era, green driver rows since; the in-window
+        # boilerplate_removed_corpus still covers the boilerplate
+        # kernel end-to-end)
+        "stratified_sample": _sqlq(_STRATSAMPLE_SPARK),
         "token_rarity_stats": _sqlq_fanout(_RARITY_SPARK),
         "boilerplate_chunks": _sqlq_fanout(_BOILERPLATE_SPARK),
         # long-stable (green driver rows in r1–r4, unchanged since;
@@ -3374,6 +3384,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_rolling_hash": _ROLLHASH_DUCK,
         "winnow_fingerprints": _WINNOW_FP_DUCK,
         "text_reuse_pairs": _REUSE_PAIRS_DUCK,
+        "tfidf_topk": _TFIDF_DUCK,
         "dedup_embedding_cosine": _EMB_COS_PAIRS_DUCK,
         "dedup_embedding_cosine_bucketed": _EMB_COS_BUCKETED_DUCK,
         "dedup_semantic_keepers": _SEMANTIC_KEEPERS_DUCK,
