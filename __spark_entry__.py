@@ -1736,6 +1736,17 @@ from onnxocr_spark.operators.retrieval import (  # noqa: E402
     TFIDF_TOPK_SQL as _TFIDF_SPARK,
 )
 
+# Content-defined chunking: shift-robust chunk boundaries (h3 % 8 == 0
+# over the local 3-token window) — array-native zero-shuffle on the
+# Spark side, LAG/SUM-OVER window derivation as the DuckDB oracle
+# (operators/cdc.py has the alignment contract and the why).
+from onnxocr_spark.operators.cdc import (  # noqa: E402
+    CDC_CHUNKS_DUCK as _CDC_CHUNKS_DUCK,
+    CDC_CHUNKS_SPARK as _CDC_CHUNKS_SPARK,
+    CDC_REPEATED_DUCK as _CDC_REPEATED_DUCK,
+    CDC_REPEATED_SPARK as _CDC_REPEATED_SPARK,
+)
+
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (ids only), exact, via the
@@ -3243,20 +3254,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _sqlq_fanout(_WINNOW_FP_SPARK),
         "text_reuse_pairs": _sqlq_fanout(_REUSE_PAIRS_SPARK),
         "tfidf_topk": _sqlq_fanout(_TFIDF_SPARK),
+        "cdc_chunks": _sqlq_fanout(_CDC_CHUNKS_SPARK),
+        "cdc_repeated_chunks": _sqlq_fanout(_CDC_REPEATED_SPARK),
         "lang_id_ngram": q_lang_id_ngram,
         "lang_confusion": q_lang_confusion,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_image_dims": q_multimodal_image_dims,
         "multimodal_audio_features": q_multimodal_audio_features,
         "multimodal_audio_haar": q_multimodal_audio_haar,
-        "multimodal_video_frames": q_multimodal_video_frames,
-        "chunk_documents": _sqlq_fanout(_CHUNK_SPARK),
         # --- tail: outside the driver's 50-row window ---
         # token_rarity_stats / boilerplate_chunks rotated out for the
-        # two winnowing queries, stratified_sample for tfidf_topk
-        # (all r4-era, green driver rows since; the in-window
+        # two winnowing queries, stratified_sample for tfidf_topk,
+        # multimodal_video_frames / chunk_documents for the two CDC
+        # queries (all r4-era, green driver rows since; the in-window
         # boilerplate_removed_corpus still covers the boilerplate
-        # kernel end-to-end)
+        # kernel end-to-end, the 4 remaining in-window multimodal rows
+        # the stub-decoder family, cdc_chunks the chunk-grain path)
+        "multimodal_video_frames": q_multimodal_video_frames,
+        "chunk_documents": _sqlq_fanout(_CHUNK_SPARK),
         "stratified_sample": _sqlq(_STRATSAMPLE_SPARK),
         "token_rarity_stats": _sqlq_fanout(_RARITY_SPARK),
         "boilerplate_chunks": _sqlq_fanout(_BOILERPLATE_SPARK),
@@ -3385,6 +3400,8 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _WINNOW_FP_DUCK,
         "text_reuse_pairs": _REUSE_PAIRS_DUCK,
         "tfidf_topk": _TFIDF_DUCK,
+        "cdc_chunks": _CDC_CHUNKS_DUCK,
+        "cdc_repeated_chunks": _CDC_REPEATED_DUCK,
         "dedup_embedding_cosine": _EMB_COS_PAIRS_DUCK,
         "dedup_embedding_cosine_bucketed": _EMB_COS_BUCKETED_DUCK,
         "dedup_semantic_keepers": _SEMANTIC_KEEPERS_DUCK,
