@@ -1747,6 +1747,38 @@ from onnxocr_spark.operators.cdc import (  # noqa: E402
     CDC_REPEATED_SPARK as _CDC_REPEATED_SPARK,
 )
 
+# Inverted-index phrase search (broadcast index-intersection, variable
+# phrase lengths) and the Bloom-filter twin of exact decontamination
+# (constant 16 KB filter vs a benchmark-sized shingle broadcast) —
+# operators/indexing.py has the vote-counting and 32-bit-lane
+# contracts; the dialect strings there are rule-for-rule aligned.
+from onnxocr_spark.operators.indexing import (  # noqa: E402
+    BLOOM_DECONTAM_DUCK as _BLOOM_DECONTAM_DUCK,
+    BLOOM_DECONTAM_SQL as _BLOOM_DECONTAM_SPARK,
+    PHRASE_SEARCH_DUCK as _PHRASE_DUCK,
+    PHRASE_SEARCH_SQL as _PHRASE_SPARK,
+)
+
+# Training-sequence packing (concatenate-and-chop window assignment).
+from onnxocr_spark.operators.packing import (  # noqa: E402
+    PACK_SEQUENCES_DUCK as _PACK_DUCK,
+)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chop packing at 512 tokens/window: per doc, its
+    global token span and the context windows it lands in. The Spark
+    side is the two-phase range-partitioned prefix sum
+    (operators/packing.py — no single-partition window anywhere); the
+    oracle is the plain window-function cumsum, exact BIGINT end to
+    end."""
+    from onnxocr_spark.operators.packing import pack_sequences
+
+    _register(spark, sf_dir)
+    return pack_sequences(
+        spark.table("documents").select("doc_id", "text"), budget=512
+    )
+
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (ids only), exact, via the
@@ -3225,6 +3257,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_final": q_corpus_final,
         "boilerplate_removed_corpus": _sqlq_fanout(_BOILER_REMOVED_SPARK),
         "decontaminated_corpus": _sqlq_fanout(_DECONTAM_CLEAN_SPARK),
+        # late-r5 additions (newest → in-window; see the tail comment
+        # for what rotated out to make room)
+        "pack_sequences": q_pack_sequences,
+        "phrase_search": _sqlq_fanout(_PHRASE_SPARK),
+        "bloom_ngram_decontaminate": _sqlq_fanout(_BLOOM_DECONTAM_SPARK),
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_online": q_dedup_incremental_online,
         "dedup_exact": _sqlq(_DEDUP_EXACT_SPARK),
@@ -3259,10 +3296,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_ngram": q_lang_id_ngram,
         "lang_confusion": q_lang_confusion,
         "multimodal_image_features": q_multimodal_image_features,
+        # --- tail: outside the driver's 50-row window ---
+        # multimodal_image_dims / multimodal_audio_features /
+        # multimodal_audio_haar rotated out late-r5 for pack_sequences,
+        # phrase_search, and bloom_ngram_decontaminate (all three
+        # multimodal rows r3/r4-era and driver-green since; the
+        # in-window multimodal_image_features row still covers the
+        # decode→features stub family end-to-end)
         "multimodal_image_dims": q_multimodal_image_dims,
         "multimodal_audio_features": q_multimodal_audio_features,
         "multimodal_audio_haar": q_multimodal_audio_haar,
-        # --- tail: outside the driver's 50-row window ---
         # token_rarity_stats / boilerplate_chunks rotated out for the
         # two winnowing queries, stratified_sample for tfidf_topk,
         # multimodal_video_frames / chunk_documents for the two CDC
@@ -3358,6 +3401,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_final": _CORPUS_FINAL_DUCK,
         "boilerplate_removed_corpus": _BOILER_REMOVED_DUCK,
         "decontaminated_corpus": _DECONTAM_CLEAN_DUCK,
+        "pack_sequences": _PACK_DUCK,
+        "phrase_search": _PHRASE_DUCK,
+        "bloom_ngram_decontaminate": _BLOOM_DECONTAM_DUCK,
         "dedup_incremental": _INCREMENTAL_DUCK,
         "dedup_incremental_online": _INCREMENTAL_ONLINE_DUCK,
         "dedup_exact": _DEDUP_EXACT_DUCK,
