@@ -2602,6 +2602,175 @@ GROUP BY p.tok, p.exact_count
 ORDER BY p.exact_count DESC, p.tok
 """
 
+# HyperLogLog register sketch for distinct-token counting (late r5).
+# m=64 buckets from the low 6 bits of the 60-bit md5 lane; rho = one
+# plus the count of leading zeros of the remaining 54-bit value
+# (spelled 55 - len(binary-minimal(v)) — bin() is minimal-width in
+# BOTH engines, pinned by the regexp strip so v=0 lands on the max
+# rho 55 in both). The register table is ONE map-side-combined MAX
+# groupBy: the shuffle carries at most m rows per (partition, source)
+# regardless of corpus size, where COUNT(DISTINCT tok) shuffles every
+# distinct token — THAT is the 100-TB story (the exact side here is
+# the small-SF validation rig, same discipline as heavy_hitters_cms).
+# The registers are exact integers, so the oracle proves the sketch
+# state bit-for-bit; the float HLL *estimate* stays driver/consumer
+# side (pytest gates it within 35% of exact — m=64 → ~13% stderr).
+_HLL_SPARK = """
+WITH toks AS (
+  SELECT source, tok FROM documents LATERAL VIEW explode(split(text, ' ')) t AS tok
+),
+ht AS (
+  SELECT source,
+         CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) AS hv
+  FROM toks
+),
+rh AS (
+  SELECT source, pmod(hv, 64) AS bucket,
+         CAST(55 - length(regexp_replace(bin(hv DIV 64), '^0+', ''))
+              AS BIGINT) AS rho
+  FROM ht
+),
+reg AS (
+  SELECT source, bucket, MAX(rho) AS register
+  FROM rh GROUP BY source, bucket
+),
+ex AS (
+  SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct
+  FROM toks GROUP BY source
+)
+SELECT r.source, CAST(r.bucket AS BIGINT) AS bucket, r.register,
+       e.exact_distinct
+FROM reg r JOIN ex e ON r.source = e.source
+"""
+_HLL_DUCK = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+ht AS (
+  SELECT source, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks
+),
+rh AS (
+  SELECT source, hv % 64 AS bucket,
+         CAST(55 - length(regexp_replace(bin(hv // 64), '^0+', ''))
+              AS BIGINT) AS rho
+  FROM ht
+),
+reg AS (
+  SELECT source, bucket, MAX(rho) AS register
+  FROM rh GROUP BY source, bucket
+),
+ex AS (
+  SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct
+  FROM toks GROUP BY source
+)
+SELECT r.source, CAST(r.bucket AS BIGINT) AS bucket, r.register,
+       e.exact_distinct
+FROM reg r JOIN ex e ON r.source = e.source
+"""
+
+# Exact discrete percentiles of document token length (late r5).
+# Two-phase: the corpus-sized pass is ONE map-side-combined histogram
+# groupBy (distinct length values — data-bounded, thousands at most);
+# the ordered cumsum window then runs over the tiny HISTOGRAM, not the
+# corpus, so the single-partition window is bounded by the value
+# domain, never by N (the opposite trade from pack_sequences, where
+# the cumsum is over every row and must be two-phase). Each histogram
+# row answers percentile p iff cum crosses ceil(p*N/100) exactly
+# there (prev < threshold <= cum) — an array-filter per row, so there
+# is NO percentile×histogram join (a non-equi join would plan BNLJ).
+# All-integer arithmetic (cum*100 >= p*N avoids division entirely).
+_LENGTH_PCTL_SPARK = """
+WITH t AS (
+  SELECT CAST(size(split(text, ' ')) AS BIGINT) AS n_tok FROM documents
+),
+h AS (
+  SELECT n_tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY n_tok
+),
+cum AS (
+  SELECT n_tok, c,
+         SUM(c) OVER (ORDER BY n_tok) AS cum,
+         COALESCE(SUM(c) OVER (ORDER BY n_tok
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev,
+         SUM(c) OVER () AS n
+  FROM h
+)
+SELECT CAST(pct AS BIGINT) AS pct, n_tok AS value
+FROM cum
+LATERAL VIEW explode(filter(array(25, 50, 75, 90, 99),
+    p -> cum * 100 >= p * n AND prev * 100 < p * n)) x AS pct
+"""
+_LENGTH_PCTL_DUCK = """
+WITH t AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents
+),
+h AS (
+  SELECT n_tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY n_tok
+),
+cum AS (
+  SELECT n_tok, c,
+         SUM(c) OVER (ORDER BY n_tok) AS cum,
+         COALESCE(SUM(c) OVER (ORDER BY n_tok
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev,
+         SUM(c) OVER () AS n
+  FROM h
+)
+SELECT CAST(unnest(list_filter([25, 50, 75, 90, 99],
+    p -> cum * 100 >= p * n AND prev * 100 < p * n)) AS BIGINT) AS pct,
+       n_tok AS value
+FROM cum
+"""
+
+# Corpus snapshot diff (late r5): the ops query every incremental
+# pipeline runs before promoting a new crawl — which docs were added,
+# removed, changed (content hash), or untouched between snapshot A
+# and snapshot B. Both snapshots are derived in-query from the one
+# documents table — A = ids below the 4/5 mark, B = ids above the 1/5
+# mark with every 7th doc's text perturbed; the marks come from
+# MAX(doc_id) (scalar subquery, NOT a 1-row cross join that would
+# plan a BNLJ) so every status class is populated at every SF.
+# Scale shape: one FULL OUTER equi-join on doc_id — co-partitioned,
+# one exchange per side; on a real lakehouse both snapshots ride the
+# bucketed layout (sinks/bucketed.py) and the exchanges vanish. The
+# content compare ships a 32-char md5, never the text.
+_CORPUS_DIFF_SPARK = """
+WITH a AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+  WHERE doc_id < (SELECT (MAX(doc_id) * 4) DIV 5 FROM documents)
+),
+b AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN concat(text, ' v2')
+                  ELSE text END) AS h
+  FROM documents
+  WHERE doc_id >= (SELECT MAX(doc_id) DIV 5 FROM documents)
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.h = b.h THEN 'same'
+            ELSE 'changed' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+"""
+_CORPUS_DIFF_DUCK = """
+WITH a AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+  WHERE doc_id < (SELECT (MAX(doc_id) * 4) // 5 FROM documents)
+),
+b AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN concat(text, ' v2')
+                  ELSE text END) AS h
+  FROM documents
+  WHERE doc_id >= (SELECT MAX(doc_id) // 5 FROM documents)
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.h = b.h THEN 'same'
+            ELSE 'changed' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+"""
+
 # fuller quality metrics: token/char counts, punctuation count,
 # stopword ratio (training-data quality scoring)
 _QUALITY_FULL_SPARK = """
@@ -3262,6 +3431,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "phrase_search": _sqlq_fanout(_PHRASE_SPARK),
         "bloom_ngram_decontaminate": _sqlq_fanout(_BLOOM_DECONTAM_SPARK),
+        "hll_distinct_tokens": _sqlq(_HLL_SPARK),
+        "doc_length_percentiles": _sqlq(_LENGTH_PCTL_SPARK),
+        "corpus_diff": _sqlq(_CORPUS_DIFF_SPARK),
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_online": q_dedup_incremental_online,
         "dedup_exact": _sqlq(_DEDUP_EXACT_SPARK),
@@ -3285,7 +3457,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_incremental": q_semantic_incremental,
         "event_asof_attribution": q_event_asof_attribution,
         "event_range_join": q_event_range_join,
-        "html_main_content": q_html_main_content,
         "doc_fingerprint": _sqlq(_FINGERPRINT),
         "doc_rolling_hash": _sqlq(_ROLLHASH_SPARK),
         "winnow_fingerprints": _sqlq_fanout(_WINNOW_FP_SPARK),
@@ -3293,10 +3464,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _sqlq_fanout(_TFIDF_SPARK),
         "cdc_chunks": _sqlq_fanout(_CDC_CHUNKS_SPARK),
         "cdc_repeated_chunks": _sqlq_fanout(_CDC_REPEATED_SPARK),
-        "lang_id_ngram": q_lang_id_ngram,
-        "lang_confusion": q_lang_confusion,
         "multimodal_image_features": q_multimodal_image_features,
         # --- tail: outside the driver's 50-row window ---
+        # lang_id_ngram / lang_confusion (r3-era, driver-green since)
+        # and html_main_content (r2-era) rotated out late-r5 for
+        # hll_distinct_tokens, doc_length_percentiles, corpus_diff;
+        # the in-window lang_id row still covers the language-ID
+        # kernel, multimodal_image_features stays in-window for the
+        # stub-decoder family
+        "lang_id_ngram": q_lang_id_ngram,
+        "lang_confusion": q_lang_confusion,
+        "html_main_content": q_html_main_content,
         # multimodal_image_dims / multimodal_audio_features /
         # multimodal_audio_haar rotated out late-r5 for pack_sequences,
         # phrase_search, and bloom_ngram_decontaminate (all three
@@ -3404,6 +3582,9 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _PACK_DUCK,
         "phrase_search": _PHRASE_DUCK,
         "bloom_ngram_decontaminate": _BLOOM_DECONTAM_DUCK,
+        "hll_distinct_tokens": _HLL_DUCK,
+        "doc_length_percentiles": _LENGTH_PCTL_DUCK,
+        "corpus_diff": _CORPUS_DIFF_DUCK,
         "dedup_incremental": _INCREMENTAL_DUCK,
         "dedup_incremental_online": _INCREMENTAL_ONLINE_DUCK,
         "dedup_exact": _DEDUP_EXACT_DUCK,

@@ -1,0 +1,84 @@
+"""Sketch-family semantic gates: the oracles prove both engines derive
+identical sketch STATE; these tests prove the state is a USEFUL sketch
+— the HLL registers actually estimate distinct counts, and the exact
+percentile derivation agrees with an independent numpy reference."""
+
+import math
+
+import numpy as np
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """Standard HLL estimator over the emitted registers (alpha_64 *
+    m^2 / sum 2^-M, linear-counting small-range correction) must land
+    within 35% of the exact distinct count per source — m=64 gives
+    ~13% standard error, so 35% is ~2.7 sigma; a broken rho/bucket
+    derivation misses by orders of magnitude, not percent."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["hll_distinct_tokens"](spark, SF).collect()
+    m = 64
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, {"regs": {}, "exact": r.exact_distinct})
+        by_source[r.source]["regs"][r.bucket] = r.register
+    assert by_source
+    for source, d in by_source.items():
+        regs = [d["regs"].get(b, 0) for b in range(m)]
+        est = 0.709 * m * m / sum(2.0 ** -x for x in regs)
+        zeros = regs.count(0)
+        if est <= 2.5 * m and zeros:
+            est = m * math.log(m / zeros)
+        exact = d["exact"]
+        assert abs(est - exact) / exact < 0.35, (source, est, exact)
+
+
+def test_percentiles_match_numpy(spark):
+    """The crossing-rule percentile (smallest v whose cumulative count
+    reaches ceil(p*N/100)) vs a direct numpy sort — the exact
+    'inverted CDF' discrete percentile."""
+    import __spark_entry__ as em
+
+    got = {
+        r.pct: r.value
+        for r in em.queries()["doc_length_percentiles"](spark, SF).collect()
+    }
+    n_tok = np.sort(
+        np.array(
+            spark.table("documents")
+            .selectExpr("size(split(text, ' ')) AS n")
+            .collect()
+        ).ravel()
+    )
+    n = len(n_tok)
+    for p in (25, 50, 75, 90, 99):
+        expected = int(n_tok[math.ceil(p * n / 100) - 1])
+        assert got[p] == expected, (p, got[p], expected)
+    assert list(got) == sorted(got) and sorted(got.values()) == list(
+        got[p] for p in sorted(got)
+    )
+
+
+def test_corpus_diff_statuses(spark):
+    """Every status class populated; statuses follow from the
+    MAX(doc_id)-derived marks by construction (added = only-in-B ids,
+    removed = only-in-A, changed = intersection ids divisible by 7)."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["corpus_diff"](spark, SF).collect()
+    status = {r.doc_id: r.status for r in rows}
+    hi = spark.table("documents").agg({"doc_id": "max"}).collect()[0][0]
+    lo_mark, hi_mark = hi // 5, (hi * 4) // 5
+    for d, s in status.items():
+        if d < lo_mark:
+            expect = "removed"
+        elif d >= hi_mark:
+            expect = "added"
+        elif d % 7 == 0:
+            expect = "changed"
+        else:
+            expect = "same"
+        assert s == expect, (d, s, expect)
+    assert {"added", "removed", "changed", "same"} <= set(status.values())
