@@ -116,6 +116,13 @@ HEADLINE = [
     "corpus_final",
     "event_asof_attribution",
     "event_range_join",
+    # late-r5 additions
+    "pack_sequences",
+    "phrase_search",
+    "bloom_ngram_decontaminate",
+    "hll_distinct_tokens",
+    "doc_length_percentiles",
+    "corpus_diff",
 ]
 # set =1 to skip the multi-JVM scaling section (quick query iteration)
 _SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"

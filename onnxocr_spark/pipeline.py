@@ -28,6 +28,7 @@ Scale notes (local[32] here; designed for 1000 executors / 100 TB):
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -36,6 +37,33 @@ from onnxocr_spark.config import PipelineConfig, DEFAULT_CONFIG
 from onnxocr_spark.operators.ocr_media import OCR_OUTPUT_SCHEMA, make_ocr_media_fn
 
 SPAN_FIELDS = ("kind", "text", "media_ref", "offset")
+
+
+@contextlib.contextmanager
+def arrow_batch_override(spark: SparkSession, n: int):
+    """Temporarily raise spark.sql.execution.arrow.maxRecordsPerBatch.
+
+    The session-wide default (32, cfg.arrow_max_records) is sized for
+    the OCR stage, where one row carries a full decoded page and a fat
+    batch OOMs the Arrow transfer. Metadata-only mapInPandas stages
+    (cost bins, sequence packing: a handful of int64 columns) are the
+    opposite regime — at 32 rows/batch a 4M-row pass pays ~125k
+    Python/pandas batch round-trips of pure overhead (measured 29.5 s
+    → ~4 s at batch 10k, local[16]).
+
+    Scoped + restoring, per the session conf contract (ADVICE r4 /
+    CLAUDE.md): callers may only wrap EAGER work (the conf is read at
+    execution time, so it must be live while the stage actually runs
+    — both call sites materialize via eager localCheckpoint inside the
+    with-block), and the battery's _register re-applies the workload
+    confs on every call as the second line of defense."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def explode_spans(docs: DataFrame) -> DataFrame:
@@ -133,12 +161,14 @@ def cost_balanced_bins(
 
     # materialize before dropping the sort cache — bins is consumed
     # lazily by the caller's join, and unpersisting first would replay
-    # the full range-exchange sort a second time
-    bins = (
-        srt.mapInPandas(assign, schema)
-        .dropDuplicates(["doc_id", "offset"])
-        .localCheckpoint(eager=True)
-    )
+    # the full range-exchange sort a second time. Metadata-only Arrow
+    # stage → fat batches (see arrow_batch_override).
+    with arrow_batch_override(media.sparkSession, 10_000):
+        bins = (
+            srt.mapInPandas(assign, schema)
+            .dropDuplicates(["doc_id", "offset"])
+            .localCheckpoint(eager=True)
+        )
     srt.unpersist()
     return bins
 
