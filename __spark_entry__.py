@@ -1764,6 +1764,41 @@ from onnxocr_spark.operators.packing import (  # noqa: E402
     PACK_SEQUENCES_DUCK as _PACK_DUCK,
 )
 
+# Duplicate-graph analytics (degree histogram + degree-ordered
+# triangle counting over the LSH pair graph ∪ a deterministic residue
+# fixture — operators/graph.py has the orientation proof and the
+# clique caveat). Both dialects inline their own pair SQL into the
+# SAME shared CTE chain.
+from onnxocr_spark.operators.graph import (  # noqa: E402
+    DEGREE_HIST_SQL as _GRAPH_DEG_TEMPLATE,
+    TRIANGLES_SQL as _GRAPH_TRI_TEMPLATE,
+    duck_sql as _graph_duck_sql,
+)
+
+_GRAPH_DEG_DUCK = _graph_duck_sql(_GRAPH_DEG_TEMPLATE, _LSH_DUCK)
+_GRAPH_TRI_DUCK = _graph_duck_sql(_GRAPH_TRI_TEMPLATE, _LSH_DUCK)
+
+
+def q_dup_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-dup pair graph ∪ residue fixture.
+    The Spark side materializes the edge set once (graph.py: Spark
+    inlines CTEs, so the SQL spec would re-run the MinHash pipeline
+    per reference); the DuckDB oracle replays the one-statement CTE
+    chain."""
+    from onnxocr_spark.operators.graph import degree_hist
+
+    _register(spark, sf_dir)
+    return degree_hist(spark, _docs_src(spark, sf_dir))
+
+
+def q_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc triangle participation via degree-ordered orientation
+    (graph.py has the exactly-once proof and the k-clique caveat)."""
+    from onnxocr_spark.operators.graph import triangles
+
+    _register(spark, sf_dir)
+    return triangles(spark, _docs_src(spark, sf_dir))
+
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concatenate-and-chop packing at 512 tokens/window: per doc, its
@@ -3434,6 +3469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_tokens": _sqlq(_HLL_SPARK),
         "doc_length_percentiles": _sqlq(_LENGTH_PCTL_SPARK),
         "corpus_diff": _sqlq(_CORPUS_DIFF_SPARK),
+        "dup_graph_degree_hist": q_dup_graph_degree_hist,
+        "dup_graph_triangles": q_dup_graph_triangles,
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_online": q_dedup_incremental_online,
         "dedup_exact": _sqlq(_DEDUP_EXACT_SPARK),
@@ -3457,8 +3494,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_incremental": q_semantic_incremental,
         "event_asof_attribution": q_event_asof_attribution,
         "event_range_join": q_event_range_join,
-        "doc_fingerprint": _sqlq(_FINGERPRINT),
-        "doc_rolling_hash": _sqlq(_ROLLHASH_SPARK),
         "winnow_fingerprints": _sqlq_fanout(_WINNOW_FP_SPARK),
         "text_reuse_pairs": _sqlq_fanout(_REUSE_PAIRS_SPARK),
         "tfidf_topk": _sqlq_fanout(_TFIDF_SPARK),
@@ -3475,6 +3510,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_ngram": q_lang_id_ngram,
         "lang_confusion": q_lang_confusion,
         "html_main_content": q_html_main_content,
+        # doc_fingerprint / doc_rolling_hash (r1/r2-era, driver-green
+        # since) rotated out late-r5 for the two dup-graph queries;
+        # the in-window winnow_fingerprints row still covers the
+        # fingerprinting family end-to-end
+        "doc_fingerprint": _sqlq(_FINGERPRINT),
+        "doc_rolling_hash": _sqlq(_ROLLHASH_SPARK),
         # multimodal_image_dims / multimodal_audio_features /
         # multimodal_audio_haar rotated out late-r5 for pack_sequences,
         # phrase_search, and bloom_ngram_decontaminate (all three
@@ -3585,6 +3626,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_tokens": _HLL_DUCK,
         "doc_length_percentiles": _LENGTH_PCTL_DUCK,
         "corpus_diff": _CORPUS_DIFF_DUCK,
+        "dup_graph_degree_hist": _GRAPH_DEG_DUCK,
+        "dup_graph_triangles": _GRAPH_TRI_DUCK,
         "dedup_incremental": _INCREMENTAL_DUCK,
         "dedup_incremental_online": _INCREMENTAL_ONLINE_DUCK,
         "dedup_exact": _DEDUP_EXACT_DUCK,

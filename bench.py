@@ -123,6 +123,7 @@ HEADLINE = [
     "hll_distinct_tokens",
     "doc_length_percentiles",
     "corpus_diff",
+    "dup_graph_triangles",
 ]
 # set =1 to skip the multi-JVM scaling section (quick query iteration)
 _SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"

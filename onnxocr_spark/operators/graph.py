@@ -1,0 +1,211 @@
+"""Duplicate-graph analytics: degree histogram and triangle counting.
+
+Dedup produces a GRAPH (docs as vertices, near-dup pairs as edges), and
+corpus forensics asks graph questions of it: how skewed is the degree
+distribution (mirror farms show up as hubs), and how clique-ish are the
+neighborhoods (triangle density separates genuine duplicate clusters
+from chains of borderline matches)? Connected components answers
+"which cluster"; these operators answer "what SHAPE is the cluster".
+
+Edge set
+--------
+The real LSH pair graph at small SF is triangle-poor (1 triangle at
+sf0.01), so the operators run on the union of the REAL MinHash-LSH
+pairs and a deterministic in-query fixture derived from doc-id residue
+classes — same discipline as the PII/URL queries (CLAUDE.md): chains
+(d — d+1 for d%10<5), chord closures (d — d+2 for d%10<3, closing a
+triangle whenever both chain edges exist), and hubs (every 7th doc
+links to its 50-block anchor, giving degree-skewed stars). Both
+engines derive the identical edge set; endpoints are verified to
+exist so the fixture never invents vertices at any SF.
+
+Triangle counting — degree-ordered orientation
+----------------------------------------------
+The textbook scalable formulation (node-iterator++ / Schank-Wagner):
+orient every undirected edge from the endpoint that is SMALLER in the
+total order (degree, id) to the larger one; then every triangle
+{x<y<z} is found exactly once as the wedge x→y, x→z closed by y→z.
+The wedge join's fan-out per vertex is its OUT-degree in the oriented
+graph, which the degree ordering bounds by O(sqrt(E)) — a
+million-follower hub contributes (k choose 2) wedges under naive id
+ordering but only its out-degree-squared ≪ k² here, because a hub's
+edges almost all point INTO it (its neighbors have lower degree).
+Honest caveat: a k-CLIQUE has k-choose-3 triangles — the OUTPUT is
+cubic and no orientation changes that; on a million-fold-duplicated
+page you count triangles on the cluster-collapsed graph (one vertex
+per CC keeper), not the raw pair graph — the same lesson as the
+star-edge CC rewrite (operators/dedup.py STAR_EDGES_SQL).
+
+Both SQL strings share every CTE between the two operators and, except
+for the {docs_src} fan-out hole inside the inlined pair SQL, are
+dialect-identical — LEAST/GREATEST/CASE spell the same in Spark and
+DuckDB, so the oracle replays the construction rule for rule.
+"""
+
+from __future__ import annotations
+
+from onnxocr_spark.operators.dedup import LSH_PAIRS_SQL
+
+# Shared graph CTE chain. {pairs} is the near-dup pair SQL (with its
+# own {docs_src} hole left intact for _sqlq_fanout). The fixture and
+# everything downstream is dialect-neutral.
+_GRAPH_CTES = """
+WITH pairs AS ({pairs}),
+ids AS (SELECT doc_id AS v FROM documents),
+fix AS (
+  SELECT v AS doc_a, v + 1 AS doc_b FROM ids WHERE v % 10 < 5
+  UNION ALL
+  SELECT v, v + 2 FROM ids WHERE v % 10 < 3
+  UNION ALL
+  SELECT v - v % 50, v FROM ids WHERE v % 50 <> 0 AND v % 7 = 0
+),
+fe AS (
+  SELECT f.doc_a, f.doc_b
+  FROM fix f JOIN ids ia ON ia.v = f.doc_a JOIN ids ib ON ib.v = f.doc_b
+),
+edges AS (
+  SELECT DISTINCT LEAST(doc_a, doc_b) AS doc_a,
+                  GREATEST(doc_a, doc_b) AS doc_b
+  FROM (SELECT doc_a, doc_b FROM fe
+        UNION ALL SELECT doc_a, doc_b FROM pairs) u
+  WHERE doc_a <> doc_b
+),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT doc_a AS v FROM edges
+        UNION ALL SELECT doc_b AS v FROM edges) dv
+  GROUP BY v
+)
+"""
+
+DEGREE_HIST_SQL = _GRAPH_CTES + """
+SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM deg GROUP BY d
+"""
+
+# Orientation carries the head's degree so the wedge join can compare
+# tips in the SAME (degree, id) total order the orientation used —
+# comparing raw ids there would double- or zero-count triangles whose
+# id order disagrees with the degree order.
+TRIANGLES_SQL = _GRAPH_CTES + """,
+o AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.doc_a < e.doc_b)
+              THEN e.doc_a ELSE e.doc_b END AS src,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND e.doc_a < e.doc_b)
+              THEN e.doc_b ELSE e.doc_a END AS dst,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND e.doc_a < e.doc_b)
+              THEN db.d ELSE da.d END AS dst_d
+  FROM edges e JOIN deg da ON da.v = e.doc_a JOIN deg db ON db.v = e.doc_b
+),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM o e1
+  JOIN o e2 ON e2.src = e1.src
+           AND (e1.dst_d < e2.dst_d
+                OR (e1.dst_d = e2.dst_d AND e1.dst < e2.dst))
+  JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+)
+SELECT v AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri
+FROM (SELECT a AS v FROM tri UNION ALL SELECT b AS v FROM tri
+      UNION ALL SELECT c AS v FROM tri) tv
+GROUP BY v
+"""
+
+
+def duck_sql(template: str, lsh_duck: str) -> str:
+    """Template with the DuckDB LSH pair oracle inlined. The oracle
+    replays the whole CTE chain as one statement (DuckDB evaluates it
+    fast at oracle SF); the SPARK side must NOT — see edges_df."""
+    return template.format(pairs=lsh_duck)
+
+
+# Spark-side evaluation. Spark INLINES CTEs (no materialization), so
+# running TRIANGLES_SQL directly re-executes the full MinHash pair
+# pipeline once per reference chain — edges appears in deg (×2 via the
+# union) and o, and o three times in the wedge join, ~9 recomputations
+# of the most expensive subtree (measured 14 s at sf0.01 vs ~2 s for
+# the pair query alone). The operator therefore materializes the EDGE
+# SET once (eager localCheckpoint — edges are O(N) id pairs, tiny
+# relative to the shingle stream that produced them) and runs the
+# graph math over the cached frame with DataFrame ops. The SQL
+# templates above remain the spec the DuckDB oracle replays.
+
+_EDGES_SQL = _GRAPH_CTES + """
+SELECT doc_a, doc_b FROM edges
+"""
+
+EDGES_SPARK_SQL = _EDGES_SQL.format(pairs=LSH_PAIRS_SQL)
+
+
+def edges_df(spark, docs_src: str):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    return spark.sql(
+        EDGES_SPARK_SQL.format(docs_src=docs_src)
+    ).localCheckpoint(eager=True)
+
+
+def _degrees(edges):
+    from pyspark.sql import functions as F
+
+    return (
+        edges.select(F.col("doc_a").alias("v"))
+        .unionAll(edges.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+
+
+def degree_hist(spark, docs_src: str):
+    from pyspark.sql import functions as F
+
+    return (
+        _degrees(edges_df(spark, docs_src))
+        .groupBy(F.col("d").alias("degree"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def triangles(spark, docs_src: str):
+    from pyspark.sql import functions as F
+
+    edges = edges_df(spark, docs_src)
+    deg = _degrees(edges)
+    e = (
+        edges.join(deg.withColumnRenamed("v", "doc_a")
+                      .withColumnRenamed("d", "da"), "doc_a")
+             .join(deg.withColumnRenamed("v", "doc_b")
+                      .withColumnRenamed("d", "db"), "doc_b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    o = e.select(
+        F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+        F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_d"),
+    )
+    e1 = o.select(
+        F.col("src"), F.col("dst").alias("b"), F.col("dst_d").alias("bd")
+    )
+    e2 = o.select(
+        F.col("src"), F.col("dst").alias("c"), F.col("dst_d").alias("cd")
+    )
+    wedges = e1.join(e2, "src").filter(
+        (F.col("bd") < F.col("cd"))
+        | ((F.col("bd") == F.col("cd")) & (F.col("b") < F.col("c")))
+    )
+    closing = o.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"]).select(
+        F.col("src").alias("a"), "b", "c"
+    )
+    return (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+        .select(F.col("v").alias("doc_id"), "n_tri")
+    )
