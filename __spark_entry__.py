@@ -1168,10 +1168,18 @@ _PII_AUG_SPARK = """
 """
 _PII_AUG_DUCK = _PII_AUG_SPARK.replace("AS STRING", "AS VARCHAR")
 
-_PII_EMAIL_J = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-_PII_IP_J = r"\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
-_PII_SSN_J = r"\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
-_PII_PHONE_J = r"\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+# Canonical PII patterns + scrub chain live in operators/pii.py (the
+# corpus_build_job needs them inside the --py-files package); the
+# RE2/DuckDB spellings are still DERIVED here, so the cross-engine
+# coupling remains change-together-or-neither (CLAUDE.md).
+from onnxocr_spark.operators.pii import (  # noqa: E402
+    PII_EMAIL_J as _PII_EMAIL_J,
+    PII_IP_J as _PII_IP_J,
+    PII_PHONE_J as _PII_PHONE_J,
+    PII_SSN_J as _PII_SSN_J,
+    scrub_sql_expr as _pii_scrub_expr,
+)
+
 _PII_EMAIL_R = _PII_EMAIL_J.replace("\\\\", "\\")
 _PII_IP_R = _PII_IP_J.replace("\\\\", "\\")
 _PII_SSN_R = _PII_SSN_J.replace("\\\\", "\\")
@@ -1201,11 +1209,7 @@ FROM pii_docs
 _PII_SCRUB_SPARK = f"""
 WITH pii_docs AS ({_PII_AUG_SPARK})
 SELECT doc_id,
-       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-             text, '{_PII_EMAIL_J}', '<EMAIL>'),
-             '{_PII_IP_J}', '<IP>'),
-             '{_PII_SSN_J}', '<SSN>'),
-             '{_PII_PHONE_J}', '<PHONE>')) AS redacted_fp,
+       md5({_pii_scrub_expr("text")}) AS redacted_fp,
        CAST(regexp_count(text, '{_PII_EMAIL_J}')
           + regexp_count(text, '{_PII_PHONE_J}')
           + regexp_count(text, '{_PII_IP_J}')
@@ -1452,13 +1456,7 @@ def q_corpus_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_ids = spark.table("documents").filter(
         "size(split(text, ' ')) BETWEEN 5 AND 1000"
     ).select("doc_id")
-    scrub = (
-        "md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
-        f"text, '{_PII_EMAIL_J}', '<EMAIL>'), "
-        f"'{_PII_IP_J}', '<IP>'), "
-        f"'{_PII_SSN_J}', '<SSN>'), "
-        f"'{_PII_PHONE_J}', '<PHONE>'))"
-    )
+    scrub = f"md5({_pii_scrub_expr('text')})"
     return (
         aug.join(retired, "doc_id", "left_anti")
         .join(quality_ids, "doc_id")

@@ -1,0 +1,181 @@
+"""spark-submit entry point for the END-PRODUCT corpus build.
+
+    spark-submit --master <cluster> \\
+        --py-files onnxocr_spark.zip \\
+        jobs/corpus_build_job.py \\
+        --input  <documents parquet path (doc_id, text, ...)> \\
+        --output <output root> \\
+        [--policy cc|online|exact] [--run-id r42] [--resume] \\
+        [--min-tokens 5] [--max-tokens 1000] [--no-scrub]
+
+The production form of the battery's `corpus_final` composition: a doc
+reaches the final corpus iff it (a) survives the near-dup pass for the
+chosen policy and (b) passes the token-count quality gate; its OUTPUT
+text is PII-scrubbed through the canonical chain
+(operators/pii.SCRUB_CHAIN). Stage order is the contract the
+`corpus_final` oracle pins: dedup and quality judge the ORIGINAL text
+— near-dup signatures and length gates must not depend on redaction
+tokens — and scrubbing touches only what is written out.
+
+Layout is the shared run-dir contract (data/run=<id> + ledger +
+retired + sigindex + metrics sidecar), so every consumer and tool that
+reads extract/dedup runs reads this job's output unchanged, and
+`sinks.ledger.compact_runs` / `compact_job --bucket-index` maintain it
+the same way. The retired manifest carries a REASON column ('dup' or
+'quality'; 'dup' wins when both apply, because a duplicate's retirement
+must not change if the quality thresholds move): re-running analytics
+over why docs died is a first-class pipeline question.
+
+--resume composes with the incremental dedup machinery unchanged
+(jobs/dedup_job.incremental_corpus): docs already in any prior ledger
+or retired manifest are skipped (idempotent re-submission — and
+quality-rejected docs ARE in retired/, so they are never re-judged),
+new docs are decided against the committed sigindex (bucketed
+accelerator and compaction fallbacks included), and the quality gate —
+a per-doc rule — applies batch-locally. For monotone doc ids the
+cumulative final corpus equals the single full-corpus run's
+(test_corpus_build_job twin-root proof), because quality is pointwise
+and the dedup equivalence is the one the dedup_incremental oracle
+already pins.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_corpus(docs, policy: str, min_tokens: int, max_tokens: int,
+                 scrub: bool, output_root: str | None = None):
+    """(final_kept, retired_with_reason, cleanup, sigindex, batch):
+    the composed decision over ``docs`` (the full input, or the
+    post-skip new batch when ``output_root`` is given for a resume).
+    ``final_kept`` carries every input column with text scrubbed
+    (unless ``scrub`` is False); ``retired_with_reason`` is
+    (doc_id, reason)."""
+    from pyspark.sql import functions as F
+
+    import dedup_job
+
+    if output_root is None:
+        kept, dup_retired, cleanup, sigindex = dedup_job.cleaned_corpus(
+            docs, policy
+        )
+        batch = docs
+    else:
+        kept, dup_retired, cleanup, sigindex, batch = (
+            dedup_job.incremental_corpus(docs, output_root, policy)
+        )
+
+    n_tok = F.size(F.split("text", " "))
+    quality_ok = (n_tok >= min_tokens) & (n_tok <= max_tokens)
+
+    final_kept = kept.filter(quality_ok)
+    out_cols = [
+        F.expr(_scrub_expr()).alias("text") if c == "text" and scrub
+        else F.col(c)
+        for c in final_kept.columns
+    ]
+    final_kept = final_kept.select(*out_cols)
+
+    retired = (
+        dup_retired.select("doc_id", F.lit("dup").alias("reason"))
+        .unionByName(
+            kept.filter(~quality_ok).select(
+                "doc_id", F.lit("quality").alias("reason")
+            )
+        )
+    )
+    return final_kept, retired, cleanup, sigindex, batch
+
+
+def _scrub_expr() -> str:
+    from onnxocr_spark.operators.pii import scrub_sql_expr
+
+    return scrub_sql_expr("text")
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--policy", choices=["cc", "online", "exact"],
+                   default="cc")
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="treat --input as a NEW batch: skip docs in "
+                        "prior ledgers/retired manifests, decide the "
+                        "rest against the committed sigindex")
+    p.add_argument("--min-tokens", type=int, default=5)
+    p.add_argument("--max-tokens", type=int, default=1000)
+    p.add_argument("--no-scrub", action="store_true",
+                   help="write original text (skip PII redaction)")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = (
+        SparkSession.builder.appName("onnxocr-corpus-build")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    run_id = args.run_id or time.strftime("%Y%m%d_%H%M%S")
+    docs = spark.read.parquet(args.input)
+    final_kept, retired, cleanup, sigindex, batch = build_corpus(
+        docs, args.policy, args.min_tokens, args.max_tokens,
+        not args.no_scrub,
+        output_root=args.output if args.resume else None,
+    )
+
+    data_dir = os.path.join(args.output, "data", f"run={run_id}")
+    final_kept.write.mode("overwrite").parquet(data_dir)
+    ledger_dir = os.path.join(args.output, "ledger", f"run={run_id}")
+    (
+        spark.read.parquet(data_dir)
+        .select("doc_id").distinct()
+        .write.mode("overwrite").parquet(ledger_dir)
+    )
+    retired_dir = os.path.join(args.output, "retired", f"run={run_id}")
+    retired.write.mode("overwrite").parquet(retired_dir)
+    if sigindex is not None:
+        sig_dir = os.path.join(args.output, "sigindex", f"run={run_id}")
+        sigindex.write.mode("overwrite").parquet(sig_dir)
+    n_in = batch.count()  # before cleanup: the cached input backs this
+    cleanup()
+
+    n_kept = spark.read.parquet(data_dir).count()
+    rdf = spark.read.parquet(retired_dir)
+    n_dup = rdf.filter("reason = 'dup'").count()
+    n_quality = rdf.filter("reason = 'quality'").count()
+    side_dir = os.path.join(args.output, "metrics", "_sidecars")
+    os.makedirs(side_dir, exist_ok=True)
+    metrics = {
+        "run_id": run_id,
+        "policy": args.policy,
+        "source_path": args.input,
+        "docs_in": n_in,
+        "docs_kept": n_kept,
+        "retired_dup": n_dup,
+        "retired_quality": n_quality,
+        "scrubbed": not args.no_scrub,
+        "min_tokens": args.min_tokens,
+        "max_tokens": args.max_tokens,
+        "wall_clock_unix": time.time(),
+    }
+    with open(os.path.join(side_dir, f"run_{run_id}.json"), "w") as f:
+        json.dump(metrics, f)
+    print(f"committed corpus-build run {run_id}: {metrics}")
+    assert n_kept + n_dup + n_quality == n_in
+    if owns_session:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

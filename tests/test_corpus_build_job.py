@@ -1,0 +1,122 @@
+"""End-product corpus build job (jobs/corpus_build_job.py): composed
+dedup + quality gate + PII scrub under the shared run-dir layout, with
+incremental resume and the twin-root full-vs-incremental equivalence."""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "jobs"),
+)
+
+BATCH1 = [
+    (0, "alpha beta gamma delta epsilon zeta"),       # kept
+    (1, "alpha beta gamma delta epsilon zeta"),       # dup of 0
+    (2, "short one"),                                 # quality (<5 toks)
+    (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),            # quality (>8 toks)
+    (4, "contact me at bob@example.com now please ok"),  # kept, scrubbed
+]
+BATCH2 = [
+    (0, "alpha beta gamma delta epsilon zeta"),       # resubmitted -> skip
+    (5, "alpha beta gamma delta epsilon zeta"),       # cross-batch dup of 0
+    (6, "eta theta iota kappa lam mu"),               # fresh, kept
+    (7, "tiny"),                                      # quality
+]
+QUALITY = ["--min-tokens", "5", "--max-tokens", "8"]
+
+
+def _write_batch(spark, tmp_path, name, rows):
+    path = str(tmp_path / name)
+    spark.createDataFrame(rows, "doc_id BIGINT, text STRING").write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def _run(args):
+    import corpus_build_job
+
+    assert corpus_build_job.main(args) == 0
+
+
+def _kept(spark, root, run=None):
+    pat = os.path.join(root, "data", f"run={run}" if run else "run=*")
+    return {
+        r.doc_id: r.text for r in spark.read.parquet(pat).collect()
+    }
+
+
+def _retired(spark, root, run=None):
+    pat = os.path.join(root, "retired", f"run={run}" if run else "run=*")
+    return {r.doc_id: r.reason for r in spark.read.parquet(pat).collect()}
+
+
+@pytest.fixture()
+def roots(spark, tmp_path):
+    b1 = _write_batch(spark, tmp_path, "b1", BATCH1)
+    b2 = _write_batch(spark, tmp_path, "b2", BATCH2)
+    ball = _write_batch(spark, tmp_path, "ball", BATCH1 + BATCH2[1:])
+    return b1, b2, ball, str(tmp_path / "root"), str(tmp_path / "root2")
+
+
+def test_initial_run_composition(spark, roots):
+    b1, _, _, root, _ = roots
+    _run(["--input", b1, "--output", root, "--policy", "cc",
+          "--run-id", "a"] + QUALITY)
+    kept = _kept(spark, root, "a")
+    assert set(kept) == {0, 4}
+    # PII scrubbed in the OUTPUT text only
+    assert "<EMAIL>" in kept[4] and "bob@example.com" not in kept[4]
+    assert kept[0] == "alpha beta gamma delta epsilon zeta"  # no-op scrub
+    retired = _retired(spark, root, "a")
+    assert retired == {1: "dup", 2: "quality", 3: "quality"}
+    side = os.path.join(root, "metrics", "_sidecars", "run_a.json")
+    m = json.load(open(side))
+    assert (m["docs_in"], m["docs_kept"], m["retired_dup"],
+            m["retired_quality"]) == (5, 2, 1, 2)
+
+
+def test_resume_decides_against_sigindex_and_skips_committed(spark, roots):
+    b1, b2, _, root, _ = roots
+    _run(["--input", b1, "--output", root, "--policy", "cc",
+          "--run-id", "a"] + QUALITY)
+    _run(["--input", b2, "--output", root, "--policy", "cc",
+          "--run-id", "b", "--resume"] + QUALITY)
+    kept_b = _kept(spark, root, "b")
+    retired_b = _retired(spark, root, "b")
+    assert set(kept_b) == {6}
+    assert retired_b == {5: "dup", 7: "quality"}
+    m = json.load(
+        open(os.path.join(root, "metrics", "_sidecars", "run_b.json"))
+    )
+    assert m["docs_in"] == 3  # doc 0 skipped as already committed
+    # resubmitting batch2 wholesale is a no-op for decided docs
+    _run(["--input", b2, "--output", root, "--policy", "cc",
+          "--run-id", "c", "--resume"] + QUALITY)
+    assert _kept(spark, root, "c") == {}
+    assert _retired(spark, root, "c") == {}
+
+
+def test_twin_root_full_equals_incremental(spark, roots):
+    b1, b2, ball, root, root2 = roots
+    _run(["--input", b1, "--output", root, "--policy", "cc",
+          "--run-id", "a"] + QUALITY)
+    _run(["--input", b2, "--output", root, "--policy", "cc",
+          "--run-id", "b", "--resume"] + QUALITY)
+    _run(["--input", ball, "--output", root2, "--policy", "cc",
+          "--run-id", "full"] + QUALITY)
+    assert _kept(spark, root) == _kept(spark, root2)
+    assert _retired(spark, root) == _retired(spark, root2)
+
+
+def test_no_scrub_flag(spark, roots):
+    b1, _, _, _, root2 = roots
+    _run(["--input", b1, "--output", root2, "--policy", "cc",
+          "--run-id", "raw", "--no-scrub"] + QUALITY)
+    kept = _kept(spark, root2, "raw")
+    assert "bob@example.com" in kept[4]
