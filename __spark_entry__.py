@@ -1657,6 +1657,64 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bigram-rarity surprise scores (late r5) — the n-gram novelty /
+# perplexity-filter analog (KenLM-class pipelines drop
+# high-perplexity docs) made hash-stable: true -Σ log2 p is a float
+# sum whose reassociation differs across engines, so the operator
+# scores in BIT LENGTHS — per bigram the JOINT self-information
+# surrogate bits(N) - bits(C(w1w2)), where bits(x) =
+# len(minimal-binary(x)) = floor(log2 x)+1 (same bin() trick the HLL
+# registers use), summed per doc as an exact BIGINT within ±1
+# bit/term of -log2(c/N). Joint, not conditional: an unsmoothed
+# conditional model scores corpus-unique gibberish as perfectly
+# predictable (unique context → p(w2|w1)=1 → 0 bits — measured, and
+# exactly backwards for a novelty filter), while joint rarity gives
+# it the maximal bits(N)-1 per bigram. Scale shape: bigrams are an
+# array-native transform (zero shuffle to derive); the count table is
+# vocabulary-bounded (Heaps' law, ≪ corpus) and the count join
+# shuffles narrow (w1, w2) keys — at 100 TB you'd bucket the count
+# table and broadcast the top-K head; N enters as an uncorrelated
+# scalar subquery (no 1-row cross join, corpus_diff precedent). The
+# DuckDB oracle re-derives bigrams via a positional self-join (the
+# oracle-side analog the winnowing oracle already uses).
+_BIGRAM_SURPRISE_SPARK = """
+WITH bg AS (
+  SELECT doc_id, explode(transform(sequence(1, size(t) - 1),
+             i -> struct(t[i-1] AS w1, t[i] AS w2))) AS b
+  FROM (SELECT doc_id, split(text, ' ') AS t FROM ({docs_src}))
+  WHERE size(t) >= 2
+),
+bgf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+       FROM bgf GROUP BY w1, w2)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(COUNT(*) * (SELECT length(bin(CAST(COUNT(*) AS BIGINT)))
+                        FROM bgf)
+            - SUM(length(bin(c2))) AS BIGINT) AS surprise_bits
+FROM bgf JOIN cb USING (w1, w2)
+GROUP BY doc_id
+"""
+_BIGRAM_SURPRISE_DUCK = """
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+bgf AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+       FROM bgf GROUP BY w1, w2)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(COUNT(*) * (SELECT length(bin(CAST(COUNT(*) AS BIGINT)))
+                        FROM bgf)
+            - SUM(length(bin(c2))) AS BIGINT) AS surprise_bits
+FROM bgf JOIN cb USING (w1, w2)
+GROUP BY doc_id
+"""
+
 _EMB_NORM_SPARK = """
 SELECT label,
        CAST(count(*) AS BIGINT) AS n,
@@ -3469,6 +3527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": _sqlq(_CORPUS_DIFF_SPARK),
         "dup_graph_degree_hist": q_dup_graph_degree_hist,
         "dup_graph_triangles": q_dup_graph_triangles,
+        "bigram_surprise": _sqlq_fanout(_BIGRAM_SURPRISE_SPARK),
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_online": q_dedup_incremental_online,
         "dedup_exact": _sqlq(_DEDUP_EXACT_SPARK),
@@ -3481,7 +3540,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ngram_jaccard_pairs": _sqlq_fanout(_JACCARD_SPARK),
         "embedding_cosine_topk": q_cosine_topk,
-        "embedding_norm_stats": _sqlq(_EMB_NORM_SPARK),
         # embedding-semantic branch (newest; driver-uncovered before r4)
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_cosine_bucketed": q_dedup_embedding_cosine_bucketed,
@@ -3511,9 +3569,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_fingerprint / doc_rolling_hash (r1/r2-era, driver-green
         # since) rotated out late-r5 for the two dup-graph queries;
         # the in-window winnow_fingerprints row still covers the
-        # fingerprinting family end-to-end
+        # fingerprinting family end-to-end. embedding_norm_stats
+        # (r2-era trivial stats) rotated out for bigram_surprise —
+        # the in-window embedding/semantic rows still cover the
+        # vector path end-to-end
         "doc_fingerprint": _sqlq(_FINGERPRINT),
         "doc_rolling_hash": _sqlq(_ROLLHASH_SPARK),
+        "embedding_norm_stats": _sqlq(_EMB_NORM_SPARK),
         # multimodal_image_dims / multimodal_audio_features /
         # multimodal_audio_haar rotated out late-r5 for pack_sequences,
         # phrase_search, and bloom_ngram_decontaminate (all three
@@ -3626,6 +3688,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_diff": _CORPUS_DIFF_DUCK,
         "dup_graph_degree_hist": _GRAPH_DEG_DUCK,
         "dup_graph_triangles": _GRAPH_TRI_DUCK,
+        "bigram_surprise": _BIGRAM_SURPRISE_DUCK,
         "dedup_incremental": _INCREMENTAL_DUCK,
         "dedup_incremental_online": _INCREMENTAL_ONLINE_DUCK,
         "dedup_exact": _DEDUP_EXACT_DUCK,

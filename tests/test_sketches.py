@@ -82,3 +82,33 @@ def test_corpus_diff_statuses(spark):
             expect = "same"
         assert s == expect, (d, s, expect)
     assert {"added", "removed", "changed", "same"} <= set(status.values())
+
+
+def test_bigram_surprise_orders_rare_above_repeated(spark):
+    """Integer rarity-surprise contract: a doc of corpus-unique
+    bigrams must out-score (per bigram) a doc repeating the corpus's
+    most common bigram; every term is >= 0 since c2 <= N."""
+    import __spark_entry__ as em
+
+    docs = (
+        [(i, "the cat sat on the mat again today") for i in range(10)]
+        + [(100, "zqx wvu tsr qpo nml kji")]       # all unique bigrams
+        + [(101, "the cat the cat the cat the cat")]  # common bigrams
+    )
+    spark.createDataFrame(
+        docs, "doc_id BIGINT, text STRING"
+    ).createOrReplaceTempView("documents")
+    try:
+        rows = spark.sql(
+            em._BIGRAM_SURPRISE_SPARK.format(
+                docs_src="SELECT doc_id, text FROM documents"
+            )
+        ).collect()
+    finally:
+        spark.catalog.dropTempView("documents")
+        em._REGISTERED.pop(spark, None)
+    by_doc = {r.doc_id: (r.surprise_bits, r.n_bigrams) for r in rows}
+    rare_rate = by_doc[100][0] / by_doc[100][1]
+    common_rate = by_doc[101][0] / by_doc[101][1]
+    assert rare_rate > common_rate
+    assert all(s >= 0 for s, _ in by_doc.values())
