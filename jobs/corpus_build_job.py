@@ -100,6 +100,100 @@ def _scrub_expr() -> str:
     return scrub_sql_expr("text")
 
 
+def commit_run(spark, output_root: str, run_id: str, final_kept, retired,
+               sigindex, batch, policy: str, source: str,
+               min_tokens: int, max_tokens: int, scrub: bool) -> dict:
+    """Write one committed run dir (data → ledger → retired → sigindex,
+    metrics sidecar last) and return the metrics. Shared by the
+    spark-submit path and the streaming foreachBatch sink."""
+    data_dir = os.path.join(output_root, "data", f"run={run_id}")
+    final_kept.write.mode("overwrite").parquet(data_dir)
+    ledger_dir = os.path.join(output_root, "ledger", f"run={run_id}")
+    (
+        spark.read.parquet(data_dir)
+        .select("doc_id").distinct()
+        .write.mode("overwrite").parquet(ledger_dir)
+    )
+    retired_dir = os.path.join(output_root, "retired", f"run={run_id}")
+    retired.write.mode("overwrite").parquet(retired_dir)
+    if sigindex is not None:
+        sig_dir = os.path.join(output_root, "sigindex", f"run={run_id}")
+        sigindex.write.mode("overwrite").parquet(sig_dir)
+    n_in = batch.count()  # before cleanup: the cached input backs this
+
+    n_kept = spark.read.parquet(data_dir).count()
+    rdf = spark.read.parquet(retired_dir)
+    n_dup = rdf.filter("reason = 'dup'").count()
+    n_quality = rdf.filter("reason = 'quality'").count()
+    side_dir = os.path.join(output_root, "metrics", "_sidecars")
+    os.makedirs(side_dir, exist_ok=True)
+    metrics = {
+        "run_id": run_id,
+        "policy": policy,
+        "source_path": source,
+        "docs_in": n_in,
+        "docs_kept": n_kept,
+        "retired_dup": n_dup,
+        "retired_quality": n_quality,
+        "scrubbed": scrub,
+        "min_tokens": min_tokens,
+        "max_tokens": max_tokens,
+        "wall_clock_unix": time.time(),
+    }
+    with open(os.path.join(side_dir, f"run_{run_id}.json"), "w") as f:
+        json.dump(metrics, f)
+    assert n_kept + n_dup + n_quality == n_in
+    return metrics
+
+
+def streaming_corpus_build_sink(output_root: str, policy: str = "cc",
+                                min_tokens: int = 5,
+                                max_tokens: int = 1000,
+                                scrub: bool = True):
+    """foreachBatch sink: streaming corpus ingestion through the full
+    end-product composition. Each micro-batch runs the SAME
+    incremental decision the batch job's --resume runs (skip committed
+    ids, dedup new docs against the sigindex, pointwise quality gate,
+    scrub the output) and commits an ordinary run dir — downstream
+    consumers cannot tell streamed batches from batch ones, and the
+    stream output is identical to sequential --resume runs by
+    construction plus the twin-root test. Exactly-once across restarts
+    via the deterministic per-batch run id + ledger-last marker (a
+    replayed micro-batch whose ledger committed is skipped whole) —
+    the same contract as streaming_semantic_sink.
+
+    The root must hold at least one committed run (the job without
+    --resume), which seeds the sigindex — same contract as --resume.
+
+    Usage::
+
+        (stream.writeStream
+         .foreachBatch(streaming_corpus_build_sink(root))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    """
+
+    def _process(batch_df, batch_id: int) -> None:
+        run_id = f"s{batch_id:09d}"
+        led = os.path.join(output_root, "ledger", f"run={run_id}")
+        if os.path.exists(os.path.join(led, "_SUCCESS")):
+            return  # restart replay of a committed micro-batch
+        spark = batch_df.sparkSession
+        final_kept, retired, cleanup, sigindex, batch = build_corpus(
+            batch_df, policy, min_tokens, max_tokens, scrub,
+            output_root=output_root,
+        )
+        metrics = commit_run(
+            spark, output_root, run_id, final_kept, retired, sigindex,
+            batch, policy, f"stream:batch={batch_id}", min_tokens,
+            max_tokens, scrub,
+        )
+        cleanup()
+        print(f"committed streaming corpus batch {batch_id}: {metrics}")
+
+    return _process
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True)
@@ -133,45 +227,13 @@ def main(argv: list[str] | None = None) -> int:
         output_root=args.output if args.resume else None,
     )
 
-    data_dir = os.path.join(args.output, "data", f"run={run_id}")
-    final_kept.write.mode("overwrite").parquet(data_dir)
-    ledger_dir = os.path.join(args.output, "ledger", f"run={run_id}")
-    (
-        spark.read.parquet(data_dir)
-        .select("doc_id").distinct()
-        .write.mode("overwrite").parquet(ledger_dir)
+    metrics = commit_run(
+        spark, args.output, run_id, final_kept, retired, sigindex, batch,
+        args.policy, args.input, args.min_tokens, args.max_tokens,
+        not args.no_scrub,
     )
-    retired_dir = os.path.join(args.output, "retired", f"run={run_id}")
-    retired.write.mode("overwrite").parquet(retired_dir)
-    if sigindex is not None:
-        sig_dir = os.path.join(args.output, "sigindex", f"run={run_id}")
-        sigindex.write.mode("overwrite").parquet(sig_dir)
-    n_in = batch.count()  # before cleanup: the cached input backs this
     cleanup()
-
-    n_kept = spark.read.parquet(data_dir).count()
-    rdf = spark.read.parquet(retired_dir)
-    n_dup = rdf.filter("reason = 'dup'").count()
-    n_quality = rdf.filter("reason = 'quality'").count()
-    side_dir = os.path.join(args.output, "metrics", "_sidecars")
-    os.makedirs(side_dir, exist_ok=True)
-    metrics = {
-        "run_id": run_id,
-        "policy": args.policy,
-        "source_path": args.input,
-        "docs_in": n_in,
-        "docs_kept": n_kept,
-        "retired_dup": n_dup,
-        "retired_quality": n_quality,
-        "scrubbed": not args.no_scrub,
-        "min_tokens": args.min_tokens,
-        "max_tokens": args.max_tokens,
-        "wall_clock_unix": time.time(),
-    }
-    with open(os.path.join(side_dir, f"run_{run_id}.json"), "w") as f:
-        json.dump(metrics, f)
     print(f"committed corpus-build run {run_id}: {metrics}")
-    assert n_kept + n_dup + n_quality == n_in
     if owns_session:
         spark.stop()
     return 0

@@ -120,3 +120,60 @@ def test_no_scrub_flag(spark, roots):
           "--run-id", "raw", "--no-scrub"] + QUALITY)
     kept = _kept(spark, root2, "raw")
     assert "bob@example.com" in kept[4]
+
+
+def test_streaming_sink_matches_sequential_resumes(spark, tmp_path, roots):
+    """The foreachBatch corpus-build sink commits the SAME cumulative
+    kept/retired state as sequential --resume runs fed the same
+    batches on a twin root; a restart replay of a committed
+    micro-batch is skipped whole (exactly-once)."""
+    import pandas as pd
+
+    import corpus_build_job
+
+    b1, _, _, root, root2 = roots
+    # founding run on both roots
+    for r in (root, root2):
+        _run(["--input", b1, "--output", r, "--policy", "cc",
+              "--run-id", "a"] + QUALITY)
+
+    # stage batch2 as one file per micro-batch, mtime-ordered
+    sdir = str(tmp_path / "stream_src")
+    os.makedirs(sdir)
+    halves = (BATCH2[:2], BATCH2[2:])
+    for i, rows in enumerate(halves):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            f"{sdir}/part-{i}.parquet"
+        )
+        os.utime(f"{sdir}/part-{i}.parquet", (1000 * (i + 1),) * 2)
+
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+    )
+    q = (
+        stream.writeStream
+        .foreachBatch(corpus_build_job.streaming_corpus_build_sink(
+            root, policy="cc", min_tokens=5, max_tokens=8))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # batch twin: sequential --resume runs over the same halves
+    for i, rows in enumerate(halves):
+        src = _write_batch(spark, tmp_path, f"half{i}", rows)
+        _run(["--input", src, "--output", root2, "--policy", "cc",
+              "--run-id", f"r{i}", "--resume"] + QUALITY)
+
+    assert _kept(spark, root) == _kept(spark, root2)
+    assert _retired(spark, root) == _retired(spark, root2)
+
+    # exactly-once: replaying a committed micro-batch is a no-op
+    before = _kept(spark, root)
+    bdf = spark.createDataFrame(halves[0], "doc_id BIGINT, text STRING")
+    corpus_build_job.streaming_corpus_build_sink(
+        root, policy="cc", min_tokens=5, max_tokens=8)(bdf, 0)
+    assert _kept(spark, root) == before
