@@ -177,3 +177,39 @@ def test_streaming_sink_matches_sequential_resumes(spark, tmp_path, roots):
     corpus_build_job.streaming_corpus_build_sink(
         root, policy="cc", min_tokens=5, max_tokens=8)(bdf, 0)
     assert _kept(spark, root) == before
+
+
+@pytest.mark.parametrize("policy", ["online", "exact"])
+def test_resume_other_policies(spark, roots, policy):
+    """The composition is policy-agnostic: online (greedy band
+    first-wins) and exact (prefix-fingerprint) resumes retire the
+    cross-batch duplicate and honor the quality gate identically on
+    this fixture."""
+    b1, b2, _, root, _ = roots
+    root = f"{root}_{policy}"
+    _run(["--input", b1, "--output", root, "--policy", policy,
+          "--run-id", "a"] + QUALITY)
+    _run(["--input", b2, "--output", root, "--policy", policy,
+          "--run-id", "b", "--resume"] + QUALITY)
+    assert set(_kept(spark, root, "b")) == {6}
+    assert _retired(spark, root, "b") == {5: "dup", 7: "quality"}
+
+
+def test_compaction_preserves_reasons_and_resume(spark, roots):
+    """compact_runs on a corpus-build root: the consolidated retired
+    manifest keeps the reason column, and a post-compaction resume
+    decides identically to an uncompacted twin root."""
+    from onnxocr_spark.sinks import compact_runs
+
+    b1, b2, _, root, root2 = roots
+    for r in (root, root2):
+        _run(["--input", b1, "--output", r, "--policy", "cc",
+              "--run-id", "a"] + QUALITY)
+    compact_runs(spark, root, compacted_id="cpt")
+    assert _retired(spark, root) == {1: "dup", 2: "quality",
+                                     3: "quality"}
+    for r in (root, root2):
+        _run(["--input", b2, "--output", r, "--policy", "cc",
+              "--run-id", "b", "--resume"] + QUALITY)
+    assert _kept(spark, root) == _kept(spark, root2)
+    assert _retired(spark, root) == _retired(spark, root2)
