@@ -1657,6 +1657,99 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact-substring cuts (late r5) — the Lee-et-al "exact substring
+# dedup" family at token grain: any 8-token run that appears in MORE
+# THAN ONE document is cut from every document carrying it, and the
+# operator emits the cut budget plus the md5 of the cleaned (kept
+# tokens, original order) text. Complements the whole-doc families
+# (MinHash/SimHash retire documents) and winnowing (which FINDS local
+# overlap): this one REMOVES the overlapping spans themselves.
+# Skew discipline: "shared by >1 doc" is tested with
+# MIN(doc_id) <> MAX(doc_id) — map-side combinable and immune to the
+# million-fold-duplicated-page skew that a COUNT(DISTINCT doc_id)
+# HAVING would funnel into one reducer (same lesson as the star-edge
+# CC rewrite). Coverage positions dedupe through one DISTINCT (×8
+# bounded fan-out); the kept-token reassembly is the same
+# sort_array(collect_list) shape the extraction pipeline pins. The
+# all-tokens-cut doc keeps a row via the LEFT JOINs and hashes ''
+# (COALESCE — the dialect trap note: DuckDB string_agg over zero rows
+# is absent, Spark array_join('') differs).
+_SUBSTR_CUTS_SPARK = """
+WITH d AS (SELECT doc_id, split(text, ' ') AS t FROM ({docs_src})),
+g AS (
+  SELECT doc_id, pos, md5(concat_ws(' ', slice(t, pos + 1, 8))) AS h
+  FROM d LATERAL VIEW explode(sequence(0, size(t) - 8)) x AS pos
+  WHERE size(t) >= 8
+),
+rep AS (SELECT h FROM g GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
+hits AS (SELECT g.doc_id, g.pos FROM g JOIN rep ON g.h = rep.h),
+cov AS (
+  SELECT DISTINCT doc_id, pos + i AS p
+  FROM hits LATERAL VIEW explode(sequence(0, 7)) x AS i
+),
+base AS (SELECT doc_id, CAST(size(t) AS BIGINT) AS n_tokens FROM d),
+tok AS (
+  SELECT doc_id, pos, tok FROM d LATERAL VIEW posexplode(t) x AS pos, tok
+),
+keptt AS (
+  SELECT tok.doc_id, tok.pos, tok.tok
+  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.p
+  WHERE cov.p IS NULL
+),
+cuts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cut
+         FROM cov GROUP BY doc_id),
+cleaned AS (
+  SELECT doc_id,
+         array_join(transform(array_sort(collect_list(struct(pos, tok))),
+                              s -> s.tok), ' ') AS joined
+  FROM keptt GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(COALESCE(c.n_cut, 0) AS BIGINT) AS n_cut,
+       md5(COALESCE(k.joined, '')) AS cleaned_fp
+FROM base b
+LEFT JOIN cuts c ON b.doc_id = c.doc_id
+LEFT JOIN cleaned k ON b.doc_id = k.doc_id
+"""
+_SUBSTR_CUTS_DUCK = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         md5(array_to_string(t[CAST(pos + 1 AS INT):CAST(pos + 8 AS INT)],
+                             ' ')) AS h
+  FROM (SELECT doc_id, t, unnest(range(len(t) - 7)) AS pos FROM d
+        WHERE len(t) >= 8)
+),
+rep AS (SELECT h FROM g GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
+hits AS (SELECT g.doc_id, g.pos FROM g JOIN rep ON g.h = rep.h),
+cov AS (
+  SELECT DISTINCT doc_id, pos + i AS p
+  FROM (SELECT doc_id, pos, unnest(range(8)) AS i FROM hits)
+),
+base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM d),
+tok AS (
+  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+  FROM d
+),
+keptt AS (
+  SELECT tok.doc_id, tok.pos, tok.tok
+  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.p
+  WHERE cov.p IS NULL
+),
+cuts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cut
+         FROM cov GROUP BY doc_id),
+cleaned AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS joined
+  FROM keptt GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(COALESCE(c.n_cut, 0) AS BIGINT) AS n_cut,
+       md5(COALESCE(k.joined, '')) AS cleaned_fp
+FROM base b
+LEFT JOIN cuts c ON b.doc_id = c.doc_id
+LEFT JOIN cleaned k ON b.doc_id = k.doc_id
+"""
+
 # Bigram-rarity surprise scores (late r5) — the n-gram novelty /
 # perplexity-filter analog (KenLM-class pipelines drop
 # high-perplexity docs) made hash-stable: true -Σ log2 p is a float
@@ -3528,6 +3621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_graph_degree_hist": q_dup_graph_degree_hist,
         "dup_graph_triangles": q_dup_graph_triangles,
         "bigram_surprise": _sqlq_fanout(_BIGRAM_SURPRISE_SPARK),
+        "exact_substring_cuts": _sqlq_fanout(_SUBSTR_CUTS_SPARK),
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_online": q_dedup_incremental_online,
         "dedup_exact": _sqlq(_DEDUP_EXACT_SPARK),
@@ -3538,7 +3632,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cleaned_corpus": q_dedup_cleaned_corpus,
         "dedup_simhash": _sqlq_fanout(_SIMHASH_SPARK),
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "ngram_jaccard_pairs": _sqlq_fanout(_JACCARD_SPARK),
         "embedding_cosine_topk": q_cosine_topk,
         # embedding-semantic branch (newest; driver-uncovered before r4)
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -3576,6 +3669,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _sqlq(_FINGERPRINT),
         "doc_rolling_hash": _sqlq(_ROLLHASH_SPARK),
         "embedding_norm_stats": _sqlq(_EMB_NORM_SPARK),
+        # ngram_jaccard_pairs (r2-era, driver-green since) rotated out
+        # late-r5 for exact_substring_cuts; pairwise-similarity stays
+        # covered in-window by the minhash/simhash/winnow rows
+        "ngram_jaccard_pairs": _sqlq_fanout(_JACCARD_SPARK),
         # multimodal_image_dims / multimodal_audio_features /
         # multimodal_audio_haar rotated out late-r5 for pack_sequences,
         # phrase_search, and bloom_ngram_decontaminate (all three
@@ -3689,6 +3786,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_graph_degree_hist": _GRAPH_DEG_DUCK,
         "dup_graph_triangles": _GRAPH_TRI_DUCK,
         "bigram_surprise": _BIGRAM_SURPRISE_DUCK,
+        "exact_substring_cuts": _SUBSTR_CUTS_DUCK,
         "dedup_incremental": _INCREMENTAL_DUCK,
         "dedup_incremental_online": _INCREMENTAL_ONLINE_DUCK,
         "dedup_exact": _DEDUP_EXACT_DUCK,

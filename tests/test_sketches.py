@@ -112,3 +112,44 @@ def test_bigram_surprise_orders_rare_above_repeated(spark):
     common_rate = by_doc[101][0] / by_doc[101][1]
     assert rare_rate > common_rate
     assert all(s >= 0 for s, _ in by_doc.values())
+
+
+def test_exact_substring_cuts_semantics(spark):
+    """Cross-doc 8-run removal: docs sharing a run lose exactly those
+    tokens (both of them), a unique doc is untouched (cleaned ==
+    original), and a full duplicate is cut to the empty string."""
+    import hashlib
+
+    import __spark_entry__ as em
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    docs = [
+        (0, shared + " tailA tailB"),
+        (1, "headX " + shared),
+        (2, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),   # unique, >= 8 tokens
+        (3, "dupe d2 d3 d4 d5 d6 d7 d8"),    # full dup pair ->
+        (4, "dupe d2 d3 d4 d5 d6 d7 d8"),    #   everything cut
+        (5, "tiny doc"),                     # sub-window, untouched
+    ]
+    spark.createDataFrame(
+        docs, "doc_id BIGINT, text STRING"
+    ).createOrReplaceTempView("documents")
+    try:
+        rows = spark.sql(
+            em._SUBSTR_CUTS_SPARK.format(
+                docs_src="SELECT doc_id, text FROM documents"
+            )
+        ).collect()
+    finally:
+        spark.catalog.dropTempView("documents")
+        em._REGISTERED.pop(spark, None)
+    got = {r.doc_id: (r.n_tokens, r.n_cut, r.cleaned_fp) for r in rows}
+
+    def fp(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert got[0] == (10, 8, fp("tailA tailB"))
+    assert got[1] == (9, 8, fp("headX"))
+    assert got[2] == (9, 0, fp("u1 u2 u3 u4 u5 u6 u7 u8 u9"))
+    assert got[3] == (8, 8, fp("")) and got[4] == (8, 8, fp(""))
+    assert got[5] == (2, 0, fp("tiny doc"))
