@@ -102,10 +102,21 @@ def _scrub_expr() -> str:
 
 def commit_run(spark, output_root: str, run_id: str, final_kept, retired,
                sigindex, batch, policy: str, source: str,
-               min_tokens: int, max_tokens: int, scrub: bool) -> dict:
-    """Write one committed run dir (data → ledger → retired → sigindex,
-    metrics sidecar last) and return the metrics. Shared by the
-    spark-submit path and the streaming foreachBatch sink."""
+               min_tokens: int, max_tokens: int, scrub: bool,
+               pack_budget: int | None = None) -> dict:
+    """Write one committed run dir (data → ledger → retired → sigindex
+    [→ packed], metrics sidecar last) and return the metrics. Shared
+    by the spark-submit path and the streaming foreachBatch sink.
+
+    ``pack_budget``: also write packed/run=<id> — the
+    concatenate-and-chop window assignment (operators/packing.py) over
+    THIS RUN's kept docs at ``pack_budget`` tokens/window. Packing is
+    per-run by design: a committed run is a training shard, and window
+    ids are meaningful only within a shard (a corpus-global prefix sum
+    would renumber every earlier doc's windows on every incremental
+    batch — exactly the mutation an append-only layout exists to
+    avoid). Offsets are computed over the SCRUBBED text — the packing
+    contract belongs to what training actually reads."""
     data_dir = os.path.join(output_root, "data", f"run={run_id}")
     final_kept.write.mode("overwrite").parquet(data_dir)
     ledger_dir = os.path.join(output_root, "ledger", f"run={run_id}")
@@ -119,6 +130,14 @@ def commit_run(spark, output_root: str, run_id: str, final_kept, retired,
     if sigindex is not None:
         sig_dir = os.path.join(output_root, "sigindex", f"run={run_id}")
         sigindex.write.mode("overwrite").parquet(sig_dir)
+    if pack_budget:
+        from onnxocr_spark.operators.packing import pack_sequences
+
+        pack_dir = os.path.join(output_root, "packed", f"run={run_id}")
+        pack_sequences(
+            spark.read.parquet(data_dir).select("doc_id", "text"),
+            budget=pack_budget,
+        ).write.mode("overwrite").parquet(pack_dir)
     n_in = batch.count()  # before cleanup: the cached input backs this
 
     n_kept = spark.read.parquet(data_dir).count()
@@ -209,6 +228,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-tokens", type=int, default=1000)
     p.add_argument("--no-scrub", action="store_true",
                    help="write original text (skip PII redaction)")
+    p.add_argument("--pack-budget", type=int, default=None,
+                   help="also write packed/run=<id>: per-run "
+                        "concatenate-and-chop window assignments at "
+                        "this many tokens per context window")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -230,7 +253,7 @@ def main(argv: list[str] | None = None) -> int:
     metrics = commit_run(
         spark, args.output, run_id, final_kept, retired, sigindex, batch,
         args.policy, args.input, args.min_tokens, args.max_tokens,
-        not args.no_scrub,
+        not args.no_scrub, pack_budget=args.pack_budget,
     )
     cleanup()
     print(f"committed corpus-build run {run_id}: {metrics}")

@@ -213,3 +213,26 @@ def test_compaction_preserves_reasons_and_resume(spark, roots):
               "--run-id", "b", "--resume"] + QUALITY)
     assert _kept(spark, root) == _kept(spark, root2)
     assert _retired(spark, root) == _retired(spark, root2)
+
+
+def test_pack_budget_writes_per_run_shard_packing(spark, roots):
+    """--pack-budget: packed/run=<id> carries the window assignment
+    over the run's kept (scrubbed) docs; spans tile the shard's token
+    stream exactly and windows stay within the shard."""
+    b1, _, _, root, _ = roots
+    _run(["--input", b1, "--output", root, "--policy", "cc",
+          "--run-id", "a", "--pack-budget", "4"] + QUALITY)
+    packed = {
+        r.doc_id: r
+        for r in spark.read.parquet(
+            os.path.join(root, "packed", "run=a")).collect()
+    }
+    kept = _kept(spark, root, "a")
+    assert set(packed) == set(kept)
+    total = 0
+    for d in sorted(packed):
+        r = packed[d]
+        assert r.start_tok == total
+        assert r.n_tok == len(kept[d].split(" "))
+        assert r.first_window == r.start_tok // 4
+        total += r.n_tok
