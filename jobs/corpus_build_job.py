@@ -50,14 +50,47 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def contaminated_ids(docs, eval_docs):
+    """doc_ids of ``docs`` sharing any token 8-gram with ``eval_docs``
+    — the decontaminate_overlap rule as a job stage. Scale shape is
+    the battery query's: the eval shingle set is tiny relative to the
+    corpus (benchmarks are ~10^5 docs), so it BROADCASTS and corpus
+    shingles that miss it die map-side inside a LEFT SEMI join."""
+    from pyspark.sql import functions as F
+
+    def shingles(df):
+        t = F.split("text", " ")
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 7),"
+                    " i -> concat_ws(' ', slice(split(text, ' '), i, 8)))"
+                )
+            ).alias("shingle"),
+        ).where(F.size(t) >= 8)
+
+    ev = shingles(eval_docs).select("shingle").distinct().hint("broadcast")
+    return (
+        shingles(docs).join(ev, "shingle", "left_semi")
+        .select("doc_id").distinct()
+    )
+
+
 def build_corpus(docs, policy: str, min_tokens: int, max_tokens: int,
-                 scrub: bool, output_root: str | None = None):
+                 scrub: bool, output_root: str | None = None,
+                 eval_docs=None):
     """(final_kept, retired_with_reason, cleanup, sigindex, batch):
     the composed decision over ``docs`` (the full input, or the
     post-skip new batch when ``output_root`` is given for a resume).
     ``final_kept`` carries every input column with text scrubbed
     (unless ``scrub`` is False); ``retired_with_reason`` is
-    (doc_id, reason)."""
+    (doc_id, reason). With ``eval_docs`` set, docs sharing any 8-gram
+    with it are retired 'contaminated'. Reason precedence
+    dup > contaminated > quality: dedup retirement must be stable
+    under eval-set or threshold changes (the sigindex already covers
+    every doc either way), and a contaminated doc stays contaminated
+    whatever the length gate says."""
     from pyspark.sql import functions as F
 
     import dedup_job
@@ -72,6 +105,14 @@ def build_corpus(docs, policy: str, min_tokens: int, max_tokens: int,
             dedup_job.incremental_corpus(docs, output_root, policy)
         )
 
+    retired = dup_retired.select("doc_id", F.lit("dup").alias("reason"))
+    if eval_docs is not None:
+        contam = contaminated_ids(kept, eval_docs)
+        retired = retired.unionByName(
+            contam.select("doc_id", F.lit("contaminated").alias("reason"))
+        )
+        kept = kept.join(contam, "doc_id", "left_anti")
+
     n_tok = F.size(F.split("text", " "))
     quality_ok = (n_tok >= min_tokens) & (n_tok <= max_tokens)
 
@@ -83,12 +124,9 @@ def build_corpus(docs, policy: str, min_tokens: int, max_tokens: int,
     ]
     final_kept = final_kept.select(*out_cols)
 
-    retired = (
-        dup_retired.select("doc_id", F.lit("dup").alias("reason"))
-        .unionByName(
-            kept.filter(~quality_ok).select(
-                "doc_id", F.lit("quality").alias("reason")
-            )
+    retired = retired.unionByName(
+        kept.filter(~quality_ok).select(
+            "doc_id", F.lit("quality").alias("reason")
         )
     )
     return final_kept, retired, cleanup, sigindex, batch
@@ -125,6 +163,8 @@ def commit_run(spark, output_root: str, run_id: str, final_kept, retired,
         .select("doc_id").distinct()
         .write.mode("overwrite").parquet(ledger_dir)
     )
+    from pyspark.sql import functions as F
+
     retired_dir = os.path.join(output_root, "retired", f"run={run_id}")
     retired.write.mode("overwrite").parquet(retired_dir)
     if sigindex is not None:
@@ -142,8 +182,15 @@ def commit_run(spark, output_root: str, run_id: str, final_kept, retired,
 
     n_kept = spark.read.parquet(data_dir).count()
     rdf = spark.read.parquet(retired_dir)
-    n_dup = rdf.filter("reason = 'dup'").count()
-    n_quality = rdf.filter("reason = 'quality'").count()
+    by_reason = {
+        r.reason: r.n
+        for r in rdf.groupBy("reason").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    n_dup = int(by_reason.get("dup", 0))
+    n_quality = int(by_reason.get("quality", 0))
+    n_contam = int(by_reason.get("contaminated", 0))
     side_dir = os.path.join(output_root, "metrics", "_sidecars")
     os.makedirs(side_dir, exist_ok=True)
     metrics = {
@@ -154,6 +201,7 @@ def commit_run(spark, output_root: str, run_id: str, final_kept, retired,
         "docs_kept": n_kept,
         "retired_dup": n_dup,
         "retired_quality": n_quality,
+        "retired_contaminated": n_contam,
         "scrubbed": scrub,
         "min_tokens": min_tokens,
         "max_tokens": max_tokens,
@@ -161,14 +209,15 @@ def commit_run(spark, output_root: str, run_id: str, final_kept, retired,
     }
     with open(os.path.join(side_dir, f"run_{run_id}.json"), "w") as f:
         json.dump(metrics, f)
-    assert n_kept + n_dup + n_quality == n_in
+    assert n_kept + n_dup + n_quality + n_contam == n_in
     return metrics
 
 
 def streaming_corpus_build_sink(output_root: str, policy: str = "cc",
                                 min_tokens: int = 5,
                                 max_tokens: int = 1000,
-                                scrub: bool = True):
+                                scrub: bool = True,
+                                eval_docs=None):
     """foreachBatch sink: streaming corpus ingestion through the full
     end-product composition. Each micro-batch runs the SAME
     incremental decision the batch job's --resume runs (skip committed
@@ -200,7 +249,7 @@ def streaming_corpus_build_sink(output_root: str, policy: str = "cc",
         spark = batch_df.sparkSession
         final_kept, retired, cleanup, sigindex, batch = build_corpus(
             batch_df, policy, min_tokens, max_tokens, scrub,
-            output_root=output_root,
+            output_root=output_root, eval_docs=eval_docs,
         )
         metrics = commit_run(
             spark, output_root, run_id, final_kept, retired, sigindex,
@@ -232,6 +281,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="also write packed/run=<id>: per-run "
                         "concatenate-and-chop window assignments at "
                         "this many tokens per context window")
+    p.add_argument("--decontaminate-against", default=None,
+                   help="parquet path of benchmark/eval docs (doc_id, "
+                        "text); corpus docs sharing any token 8-gram "
+                        "with it are retired reason='contaminated'")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -244,10 +297,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     run_id = args.run_id or time.strftime("%Y%m%d_%H%M%S")
     docs = spark.read.parquet(args.input)
+    eval_docs = (
+        spark.read.parquet(args.decontaminate_against)
+        if args.decontaminate_against else None
+    )
     final_kept, retired, cleanup, sigindex, batch = build_corpus(
         docs, args.policy, args.min_tokens, args.max_tokens,
         not args.no_scrub,
         output_root=args.output if args.resume else None,
+        eval_docs=eval_docs,
     )
 
     metrics = commit_run(

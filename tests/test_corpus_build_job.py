@@ -236,3 +236,23 @@ def test_pack_budget_writes_per_run_shard_packing(spark, roots):
         assert r.n_tok == len(kept[d].split(" "))
         assert r.first_window == r.start_tok // 4
         total += r.n_tok
+
+
+def test_decontaminate_against_eval_set(spark, tmp_path, roots):
+    """--decontaminate-against: docs sharing any token 8-gram with the
+    eval parquet are retired 'contaminated'; precedence sits between
+    dup and quality (doc 3 fails the length gate AND matches the eval
+    8-gram -> 'contaminated'); sub-8-token docs can never match."""
+    b1, _, _, root, _ = roots
+    ev = _write_batch(spark, tmp_path, "eval",
+                      [(900, "w1 w2 w3 w4 w5 w6 w7 w8")])
+    _run(["--input", b1, "--output", root, "--policy", "cc",
+          "--run-id", "a", "--decontaminate-against", ev] + QUALITY)
+    assert set(_kept(spark, root, "a")) == {0, 4}
+    assert _retired(spark, root, "a") == {
+        1: "dup", 2: "quality", 3: "contaminated"
+    }
+    m = json.load(
+        open(os.path.join(root, "metrics", "_sidecars", "run_a.json"))
+    )
+    assert m["retired_contaminated"] == 1 and m["docs_kept"] == 2
