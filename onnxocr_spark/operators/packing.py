@@ -154,3 +154,35 @@ def pack_sequences(
         out = out.localCheckpoint(eager=True)
     srt.unpersist()
     return out
+
+
+def shard_offsets(spark, root: str) -> dict:
+    """{run_id: global token offset} over a corpus-build root's
+    packed/run=* shards, in run-id order.
+
+    Per-run packing (corpus_build_job --pack-budget) keeps window ids
+    LOCAL to each shard so committed runs never renumber; a consumer
+    that wants one global token stream (e.g. epoch-level shuffling
+    across shards) adds these offsets: global_start = offset[run] +
+    start_tok. One aggregation over the packed layout (the run=<id>
+    dir names parse as a partition column), one BIGINT per run to the
+    driver — the same driver-payload discipline as the prefix sum
+    above."""
+    import os
+
+    path = os.path.join(root, "packed")
+    totals = {
+        r["run"]: int(r["total"])
+        for r in (
+            spark.read.parquet(path)
+            .groupBy("run")
+            .agg(F.sum("n_tok").alias("total"))
+            .collect()
+        )
+    }
+    offsets = {}
+    acc = 0
+    for run in sorted(totals):
+        offsets[run] = acc
+        acc += totals[run]
+    return offsets

@@ -256,3 +256,29 @@ def test_decontaminate_against_eval_set(spark, tmp_path, roots):
         open(os.path.join(root, "metrics", "_sidecars", "run_a.json"))
     )
     assert m["retired_contaminated"] == 1 and m["docs_kept"] == 2
+
+
+def test_shard_offsets_chain_across_runs(spark, roots):
+    """shard_offsets: per-run packings compose into one global token
+    stream — offsets chain in run order and each shard's spans tile
+    [offset, offset + shard_total)."""
+    from onnxocr_spark.operators.packing import shard_offsets
+
+    b1, b2, _, root, _ = roots
+    _run(["--input", b1, "--output", root, "--policy", "cc",
+          "--run-id", "a", "--pack-budget", "4"] + QUALITY)
+    _run(["--input", b2, "--output", root, "--policy", "cc",
+          "--run-id", "b", "--resume", "--pack-budget", "4"] + QUALITY)
+    offs = shard_offsets(spark, root)
+    assert list(offs) == ["a", "b"] and offs["a"] == 0
+    rows_a = spark.read.parquet(
+        os.path.join(root, "packed", "run=a")).collect()
+    assert offs["b"] == sum(r.n_tok for r in rows_a)
+    rows_b = spark.read.parquet(
+        os.path.join(root, "packed", "run=b")).collect()
+    spans = sorted(
+        (offs[run] + r.start_tok, offs[run] + r.start_tok + r.n_tok)
+        for run, rows in (("a", rows_a), ("b", rows_b)) for r in rows
+    )
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert e1 == s2  # global tiling, no gap/overlap
