@@ -2799,6 +2799,15 @@ ORDER BY p.exact_count DESC, p.tok
 # The registers are exact integers, so the oracle proves the sketch
 # state bit-for-bit; the float HLL *estimate* stays driver/consumer
 # side (pytest gates it within 35% of exact — m=64 → ~13% stderr).
+# Hash-lane choice (measured, BENCH/BASELINE.md late-r5): md5 here is
+# the CROSS-ENGINE EXACTNESS choice — locally its string chain makes
+# the register build ~4x slower than exact COUNT(DISTINCT) at 48M
+# tokens, while an xxhash64 lane (JVM codegen'd; no DuckDB twin) runs
+# at parity. Production swaps the lane for xxhash64 and keeps the
+# structure; the sketch's real win is shuffle PAYLOAD either way —
+# ≤ m rows per (partition, source) vs ~every distinct token for the
+# exact partial aggregate (2,500,000x fewer rows at the probe's
+# cardinality), which is what matters on a network at 1000 executors.
 _HLL_SPARK = """
 WITH toks AS (
   SELECT source, tok FROM documents LATERAL VIEW explode(split(text, ' ')) t AS tok
