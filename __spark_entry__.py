@@ -2861,6 +2861,59 @@ SELECT r.source, CAST(r.bucket AS BIGINT) AS bucket, r.register,
 FROM reg r JOIN ex e ON r.source = e.source
 """
 
+# HLL register MERGE (late r5): the property that makes the sketch
+# distributed — registers built over disjoint corpus halves MAX-merge
+# into exactly the whole-corpus registers (MAX is associative/
+# commutative/idempotent, so ANY partitioning of the stream yields
+# the same state; this query materializes the two-phase shape
+# explicitly: per-half register tables → MAX merge). pytest
+# additionally pins merged ≡ the single-pass hll_distinct_tokens
+# registers; the oracle replays the same two-phase construction.
+_HLL_MERGE_SPARK = """
+WITH toks AS (
+  SELECT doc_id % 2 AS half, source, tok
+  FROM documents LATERAL VIEW explode(split(text, ' ')) t AS tok
+),
+rh AS (
+  SELECT half, source, pmod(hv, 64) AS bucket,
+         CAST(55 - length(regexp_replace(bin(hv DIV 64), '^0+', ''))
+              AS BIGINT) AS rho
+  FROM (SELECT half, source,
+               CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)
+                 AS hv
+        FROM toks)
+),
+halves AS (
+  SELECT half, source, bucket, MAX(rho) AS register
+  FROM rh GROUP BY half, source, bucket
+)
+SELECT source, CAST(bucket AS BIGINT) AS bucket,
+       MAX(register) AS register
+FROM halves GROUP BY source, bucket
+"""
+_HLL_MERGE_DUCK = """
+WITH toks AS (
+  SELECT doc_id % 2 AS half, source,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+rh AS (
+  SELECT half, source, hv % 64 AS bucket,
+         CAST(55 - length(regexp_replace(bin(hv // 64), '^0+', ''))
+              AS BIGINT) AS rho
+  FROM (SELECT half, source,
+               ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+        FROM toks)
+),
+halves AS (
+  SELECT half, source, bucket, MAX(rho) AS register
+  FROM rh GROUP BY half, source, bucket
+)
+SELECT source, CAST(bucket AS BIGINT) AS bucket,
+       MAX(register) AS register
+FROM halves GROUP BY source, bucket
+"""
+
 # Exact discrete percentiles of document token length (late r5).
 # Two-phase: the corpus-sized pass is ONE map-side-combined histogram
 # groupBy (distinct length values — data-bounded, thousands at most);
@@ -3625,6 +3678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": _sqlq_fanout(_PHRASE_SPARK),
         "bloom_ngram_decontaminate": _sqlq_fanout(_BLOOM_DECONTAM_SPARK),
         "hll_distinct_tokens": _sqlq(_HLL_SPARK),
+        "hll_register_merge": _sqlq(_HLL_MERGE_SPARK),
         "doc_length_percentiles": _sqlq(_LENGTH_PCTL_SPARK),
         "corpus_diff": _sqlq(_CORPUS_DIFF_SPARK),
         "dup_graph_degree_hist": q_dup_graph_degree_hist,
@@ -3633,7 +3687,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_cuts": _sqlq_fanout(_SUBSTR_CUTS_SPARK),
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_online": q_dedup_incremental_online,
-        "dedup_exact": _sqlq(_DEDUP_EXACT_SPARK),
         "dedup_minhash_sig": _sqlq_fanout(_MINHASH_SPARK),
         "dedup_minhash_lsh_pairs": _sqlq_fanout(_LSH_SPARK),
         "dedup_online_band_keepers": _sqlq_fanout(_ONLINE_BAND_SPARK),
@@ -3680,8 +3733,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm_stats": _sqlq(_EMB_NORM_SPARK),
         # ngram_jaccard_pairs (r2-era, driver-green since) rotated out
         # late-r5 for exact_substring_cuts; pairwise-similarity stays
-        # covered in-window by the minhash/simhash/winnow rows
+        # covered in-window by the minhash/simhash/winnow rows.
+        # dedup_exact (r1-era) rotated out for hll_register_merge; the
+        # exact-fingerprint rule stays pinned by the dedup-job exact
+        # policy tests and the in-window incremental rows
         "ngram_jaccard_pairs": _sqlq_fanout(_JACCARD_SPARK),
+        "dedup_exact": _sqlq(_DEDUP_EXACT_SPARK),
         # multimodal_image_dims / multimodal_audio_features /
         # multimodal_audio_haar rotated out late-r5 for pack_sequences,
         # phrase_search, and bloom_ngram_decontaminate (all three
@@ -3790,6 +3847,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": _PHRASE_DUCK,
         "bloom_ngram_decontaminate": _BLOOM_DECONTAM_DUCK,
         "hll_distinct_tokens": _HLL_DUCK,
+        "hll_register_merge": _HLL_MERGE_DUCK,
         "doc_length_percentiles": _LENGTH_PCTL_DUCK,
         "corpus_diff": _CORPUS_DIFF_DUCK,
         "dup_graph_degree_hist": _GRAPH_DEG_DUCK,

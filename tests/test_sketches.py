@@ -153,3 +153,20 @@ def test_exact_substring_cuts_semantics(spark):
     assert got[2] == (9, 0, fp("u1 u2 u3 u4 u5 u6 u7 u8 u9"))
     assert got[3] == (8, 8, fp("")) and got[4] == (8, 8, fp(""))
     assert got[5] == (2, 0, fp("tiny doc"))
+
+
+def test_hll_merge_equals_single_pass(spark):
+    """Mergeability — the property that makes the sketch distributed:
+    MAX-merged per-half registers must equal the single-pass
+    whole-corpus registers bucket-for-bucket."""
+    import __spark_entry__ as em
+
+    merged = {
+        (r.source, r.bucket): r.register
+        for r in em.queries()["hll_register_merge"](spark, SF).collect()
+    }
+    full = {
+        (r.source, r.bucket): r.register
+        for r in em.queries()["hll_distinct_tokens"](spark, SF).collect()
+    }
+    assert merged == full
