@@ -153,3 +153,16 @@ def test_shingle_fanout_hint_is_adaptive(spark):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
         spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
+
+
+def test_indexing_queries_broadcast_their_small_sides(spark):
+    """phrase_search must broadcast the exploded query-term relation
+    and bloom_ngram_decontaminate the 2k-row filter word table — the
+    map-side-death of non-matching tokens/shingles is the whole scale
+    story for both (operators/indexing.py)."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("phrase_search", "bloom_ngram_decontaminate"):
+        plan = _plan(em.queries()[name](spark, sf))
+        assert "BroadcastHashJoin" in plan, (name, plan)
