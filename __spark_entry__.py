@@ -73,10 +73,23 @@ def _derived_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return derive_documents(spark.table("documents"))
 
 
-def _extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from onnxocr_spark.pipeline import run_extract
+def _derived_span_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from onnxocr_spark.operators.spans_derive import derive_span_rows
 
-    return run_extract(_derived_docs(spark, sf_dir))
+    _register(spark, sf_dir)
+    return derive_span_rows(spark.table("documents"))
+
+
+def _extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r6: enter the extract pipeline at span-row grain —
+    # run_extract(derive_documents(…)) reassembles spans into per-doc
+    # arrays (a full-corpus shuffle + sort) only for run_extract's
+    # explode_spans to unpack them again; the fused entry skips that
+    # round trip with bit-identical output (see
+    # pipeline.run_extract_from_spans).
+    from onnxocr_spark.pipeline import run_extract_from_spans
+
+    return run_extract_from_spans(_derived_span_rows(spark, sf_dir))
 
 
 def _extract_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,9 +208,9 @@ def q_ocr_media_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ocr_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from onnxocr_spark.pipeline import ocr_metrics
+    from onnxocr_spark.pipeline import ocr_metrics_from_spans
 
-    m = ocr_metrics(_derived_docs(spark, sf_dir))
+    m = ocr_metrics_from_spans(_derived_span_rows(spark, sf_dir))
     return m.select(
         F.col("media_spans").cast("bigint").alias("media_spans"),
         F.col("failures").cast("bigint").alias("failures"),
@@ -678,6 +691,20 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM retired)
 """.format(lsh=_LSH_DUCK.strip())
 
 
+def _docs_split_literal(spark: SparkSession) -> str:
+    """The incremental queries' data-derived batch split point,
+    FLOOR((MAX(doc_id)+1)/2), evaluated once per call and inlined as a
+    literal (r6, guide §2.4/§5): embedded as a correlated-free scalar
+    subquery it was re-evaluated as a separate tiny job per consuming
+    fragment (old_src, new_src, new_docs — ~0.15 s of fixed latency
+    each at any SF). Integer // matches FLOOR(x/2.0) for the
+    non-negative ids the corpus contract guarantees; the DuckDB oracle
+    keeps the in-query subquery formulation, so the green oracle row
+    remains the equivalence proof."""
+    mx = spark.table("documents").agg(F.max("doc_id")).first()[0]
+    return str((int(mx) + 1) // 2)
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental cross-run dedup (VERDICT r4 item 1): the corpus is
     split into a committed batch (doc_id below the data-derived
@@ -698,10 +725,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir)
     src = _docs_src(spark, sf_dir)
-    split = (
-        "(SELECT CAST(FLOOR((MAX(doc_id) + 1) / 2.0) AS BIGINT) "
-        "FROM documents)"
-    )
+    split = _docs_split_literal(spark)
     old_src = f"SELECT doc_id, text FROM ({src}) WHERE doc_id < {split}"
     new_src = f"SELECT doc_id, text FROM ({src}) WHERE doc_id >= {split}"
     index = spark.sql(BAND_INDEX_SQL.format(docs_src=old_src))
@@ -779,10 +803,7 @@ def q_dedup_incremental_online(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir)
     src = _docs_src(spark, sf_dir)
-    split = (
-        "(SELECT CAST(FLOOR((MAX(doc_id) + 1) / 2.0) AS BIGINT) "
-        "FROM documents)"
-    )
+    split = _docs_split_literal(spark)
     old_src = f"SELECT doc_id, text FROM ({src}) WHERE doc_id < {split}"
     new_src = f"SELECT doc_id, text FROM ({src}) WHERE doc_id >= {split}"
     sql = _INCREMENTAL_ONLINE_SPARK.format(
@@ -2264,14 +2285,21 @@ def q_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (seed ranking over batch1, full-table argmax assignment, both pair
     scans, recursive closure with negative committed vertices)."""
     from onnxocr_spark.operators.similarity import (
-        adaptive_n_cells, incremental_semantic_decisions, seed_cells,
+        adaptive_n_cells, collect_seed_rows, incremental_semantic_decisions,
+        seed_cells,
     )
 
     _register(spark, sf_dir)
-    split = (
-        "(SELECT CAST(FLOOR((MAX(vec_id) + 1) / 2.0) AS BIGINT) "
-        "FROM embeddings)"
-    )
+    # r6 (guide §1.2/§5): ONE driver aggregate replaces the scalar
+    # subquery (re-evaluated per consuming fragment) AND the two
+    # standalone counts — max/split and both batch sizes come out of a
+    # single pass; the split literal is then inlined. // matches
+    # FLOOR((MAX+1)/2.0) for non-negative ids; the oracle keeps the
+    # in-query derivation, so the green row stays the equivalence proof.
+    mx, n_total = spark.table("embeddings").agg(
+        F.max("vec_id"), F.count("*")
+    ).first()
+    split = (int(mx) + 1) // 2
     old = spark.sql(
         f"SELECT vec_id, embedding FROM embeddings WHERE vec_id < {split}"
     )
@@ -2279,10 +2307,12 @@ def q_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {split}"
     )
     n_old = old.count()
-    n_new = new.count()
+    n_new = int(n_total) - n_old
     c1 = adaptive_n_cells(n_old)
-    cells_old = seed_cells(old, c1)
-    cells_new = seed_cells(new, c1, seed_from=old)
+    # both assignments use the committed batch's seeds: collect once
+    seeds = collect_seed_rows(old, c1)
+    cells_old = seed_cells(old, c1, seed_rows=seeds)
+    cells_new = seed_cells(new, c1, seed_from=old, seed_rows=seeds)
     return incremental_semantic_decisions(
         cells_new, cells_old, 0.45, cells_hint=c1,
         n_new=n_new, n_old=n_old,
@@ -3573,7 +3603,16 @@ def q_pdf_pages_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from onnxocr_spark.operators.sources import pdf_to_pages, ocr_paged_media
 
     _register(spark, sf_dir)
-    base = spark.table("documents").select("doc_id").filter("doc_id < 40")
+    # r6 (guide §2.5 input skew): the documents scan is one split at
+    # battery SFs, so without this exchange the whole build+rasterize
+    # chain (40 containers × 3 rendered pages each) ran on ONE task;
+    # range-partitioning the 40 ids spreads it one doc per task for the
+    # price of shuffling 40 BIGINTs. Placement is semantically free —
+    # every downstream row is keyed (doc_id, page).
+    base = (
+        spark.table("documents").select("doc_id").filter("doc_id < 40")
+        .repartitionByRange(40, "doc_id")
+    )
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from onnxocr_spark.datagen.render import render_media

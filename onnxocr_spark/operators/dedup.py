@@ -67,13 +67,17 @@ def connected_component_keepers(
     the distributed pointer-jumping loop below is untouched; pass 0 to
     force it."""
     spark = pairs.sparkSession
-    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-    edges = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
-
-    n_edges = edges.count()  # also materializes the cache for round 1
-    if n_edges <= small_collect_threshold:
+    # Materialize the DIRECTED pair list first (r6, guide §2.3/§2.4):
+    # the old shape persisted the symmetrized union, whose one
+    # materialization executed the (expensive — full minhash/GEMM)
+    # pairs subtree TWICE, once per union branch, and the small path
+    # then collected 2x the rows it needed. Union-find is undirected by
+    # nature, so the driver path needs each pair once; the distributed
+    # path symmetrizes from the persisted pairs cache (two cache scans,
+    # zero recompute).
+    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).persist()
+    n_pairs = e.count()  # also materializes the cache
+    if 2 * n_pairs <= small_collect_threshold:
         from pyspark.sql import types as T
 
         parent: dict = {}
@@ -86,7 +90,7 @@ def connected_component_keepers(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in edges.collect():
+        for row in e.collect():
             a, b = row[0], row[1]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
@@ -96,19 +100,32 @@ def connected_component_keepers(
                     ra, rb = rb, ra
                 parent[rb] = ra
         out = [(v, find(v)) for v in parent]
-        edges.unpersist()
+        e.unpersist()
         if stats is not None:
             stats["rounds"] = 0
             stats["strategy"] = "driver-union-find"
         id_t = pairs.schema[a_col].dataType
-        return spark.createDataFrame(
+        # BROADCAST hint (r6, guide §3.1): this path's label table is
+        # ≤ small_collect_threshold rows BY CONSTRUCTION, but a
+        # createDataFrame relation has no reliable size estimate, so
+        # callers' keeper/anti joins were planned as sort-merge —
+        # shuffling the corpus side against a few-KB local table. The
+        # hint is safe exactly because the bound is structural; the
+        # distributed path below stays unhinted (its label table is
+        # O(clustered docs)).
+        return F.broadcast(spark.createDataFrame(
             out,
             T.StructType([
                 T.StructField("doc_id", id_t), T.StructField("keeper", id_t)
             ]),
-        )
+        ))
     if stats is not None:
         stats["strategy"] = "distributed-pointer-jumping"
+    edges = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    edges.count()  # materialize from the pairs cache, then free it
+    e.unpersist()
 
     # initial label: min neighbor vs self. Iteration state policy:
     # persist each round and FREE the previous round's cache as soon as

@@ -180,11 +180,17 @@ def triangles(spark, docs_src: str):
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("doc_a") < F.col("doc_b"))
     )
+    # r6: the oriented list is consumed THREE times (both wedge sides +
+    # the closing-edge probe); left lazy, each reference re-ran the
+    # edges⋈deg⋈deg orientation from the edge checkpoint (~6 exchanges
+    # × 3). One more eager localCheckpoint — o is O(E) ids, same bound
+    # as the edge set itself — makes the wedge phase read a cached
+    # relation (same policy as edges_df, see module docstring).
     o = e.select(
         F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
         F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_d"),
-    )
+    ).localCheckpoint(eager=True)
     e1 = o.select(
         F.col("src"), F.col("dst").alias("b"), F.col("dst_d").alias("bd")
     )

@@ -88,11 +88,20 @@ hits AS (
   SELECT q_doc, doc_id, start_pos
   FROM votes
   GROUP BY q_doc, phrase_len, doc_id, start_pos
-  HAVING COUNT(DISTINCT i) = phrase_len
+  HAVING bit_count(bit_or(shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))))
+         = phrase_len
 )
 SELECT q_doc, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occur
 FROM hits GROUP BY q_doc, doc_id
 """
+# ^ the all-L-votes test is popcount(OR of one-hot i bits) = L rather
+# than COUNT(DISTINCT i) (r6, guide §2.3 "aggregate before you
+# shuffle"): count-distinct plans an Expand (doubling the vote stream
+# into the shuffle) plus a two-phase distinct aggregation, while bit_or
+# is a plain map-side-combinable aggregate — equal by construction
+# because i < phrase_len <= 5 < 64, so distinct vote indices and set
+# bits are in bijection. The DuckDB twin keeps COUNT(DISTINCT i): the
+# cross-engine green row proves the equivalence on real data.
 
 PHRASE_SEARCH_DUCK = """
 WITH tok AS (
@@ -141,35 +150,55 @@ WITH sh AS (
   WHERE size(t) >= 8
 ),
 hb AS (
-  SELECT DISTINCT doc_id, shingle,
+  SELECT doc_id, shingle,
          pmod(CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT),
               65536) AS b1,
          pmod(CAST(conv(substring(md5(shingle), 17, 15), 16, 10) AS BIGINT),
               65536) AS b2
-  FROM sh
+  FROM (SELECT DISTINCT doc_id, shingle FROM sh) ds
 ),
 evbit AS (
-  SELECT b1 AS bit FROM hb WHERE doc_id % 100 < 2
-  UNION ALL
-  SELECT b2 AS bit FROM hb WHERE doc_id % 100 < 2
+  SELECT explode(array(b1, b2)) AS bit FROM hb WHERE doc_id % 100 < 2
 ),
 bloom AS (
   SELECT w, bit_or(shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))) AS bits
   FROM (SELECT CAST(bit DIV 32 AS BIGINT) AS w, bit % 32 AS b FROM evbit)
   GROUP BY w
 ),
+blarr AS (
+  SELECT transform(sequence(0, 2047),
+                   w -> coalesce(m[CAST(w AS BIGINT)], CAST(0 AS BIGINT)))
+           AS arr
+  FROM (SELECT map_from_entries(collect_list(struct(w, bits))) AS m
+        FROM bloom)
+),
 tr AS (
-  SELECT doc_id, shingle, b1, b2 FROM hb WHERE doc_id % 100 >= 2
+  SELECT doc_id, b1, b2, (SELECT arr FROM blarr) AS arr
+  FROM hb WHERE doc_id % 100 >= 2
 )
-SELECT /*+ BROADCAST(w1, w2) */
-       tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bloom_hits
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bloom_hits
 FROM tr
-JOIN bloom w1 ON w1.w = CAST(tr.b1 DIV 32 AS BIGINT)
-JOIN bloom w2 ON w2.w = CAST(tr.b2 DIV 32 AS BIGINT)
-WHERE (w1.bits & shiftleft(CAST(1 AS BIGINT), CAST(tr.b1 % 32 AS INT))) <> 0
-  AND (w2.bits & shiftleft(CAST(1 AS BIGINT), CAST(tr.b2 % 32 AS INT))) <> 0
-GROUP BY tr.doc_id
+WHERE (arr[CAST(b1 DIV 32 AS INT)]
+       & shiftleft(CAST(1 AS BIGINT), CAST(b1 % 32 AS INT))) <> 0
+  AND (arr[CAST(b2 DIV 32 AS INT)]
+       & shiftleft(CAST(1 AS BIGINT), CAST(b2 % 32 AS INT))) <> 0
+GROUP BY doc_id
 """
+# ^ r6 physical restructure of the SPARK side only — the hash lanes,
+# lane width, bit rules and the filter's exact contents are unchanged
+# (the DuckDB twin below still proves them bit-for-bit):
+#  - md5 moves AFTER the (doc_id, shingle) DISTINCT, so each distinct
+#    shingle is hashed once instead of once per occurrence (guide §2.3);
+#  - the eval side feeds the filter via ONE scan
+#    (explode(array(b1,b2))) where the UNION ALL twin scanned — and,
+#    Spark inlining CTEs, re-shingled — the eval docs twice (§2.4);
+#  - the 2,048-word filter becomes ONE dense array in a scalar
+#    subquery (absent word ⇔ 0 ⇔ the inner join's no-match row drop),
+#    so the probe is a projection-level mask test instead of two
+#    broadcast hash joins, and the whole eval pipeline executes once
+#    instead of once per join side. The subquery result is what gets
+#    shipped per executor: the same constant 16 KB, now literally one
+#    row.
 
 BLOOM_DECONTAM_DUCK = """
 WITH sh AS (

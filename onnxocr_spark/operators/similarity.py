@@ -241,6 +241,27 @@ def adaptive_n_cells(n: int, floor: int = 16) -> int:
 TWO_LEVEL_CELLS_THRESHOLD = 4096
 
 
+def collect_seed_rows(
+    src: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """The bounded C-row seed collect ``seed_cells`` runs internally,
+    exposed so callers assigning several frames against the SAME seed
+    set (incremental old/new) pay it once (seed_cells(seed_rows=…))."""
+    return (
+        src.select(
+            F.col(id_col).alias("seed_id"),
+            F.col(vec_col).alias("se"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "seed_id")
+        .limit(n_cells)
+        .collect()
+    )
+
+
 def seed_cells(
     emb: DataFrame,
     n_cells: int = 16,
@@ -248,6 +269,7 @@ def seed_cells(
     vec_col: str = "embedding",
     two_level: bool | None = None,
     seed_from: DataFrame | None = None,
+    seed_rows: list | None = None,
 ) -> DataFrame:
     """(id, vec, cell): coarse semantic cells for cluster-first SemDeDup,
     SQL-reproducible by construction.
@@ -298,17 +320,18 @@ def seed_cells(
     batch is assigned into the committed cells without re-deriving
     seeds over the whole corpus (re-derived seeds would re-cell every
     committed doc — a full re-run by another name).
+
+    ``seed_rows`` (r6, guide §1.2 "don't compute things twice"): the
+    already-collected seed row list (exactly what ``collect_seed_rows``
+    returns) — callers that assign TWO frames against the same seeds
+    (the incremental pair old/new) collect once and pass the rows to
+    both calls instead of paying the ORDER-BY-md5 top-C job twice.
     """
     spark = emb.sparkSession
     rows = (
-        (seed_from if seed_from is not None else emb).select(
-            F.col(id_col).alias("seed_id"),
-            F.col(vec_col).alias("se"),
-            F.md5(F.col(id_col).cast("string")).alias("_h"),
-        )
-        .orderBy("_h", "seed_id")
-        .limit(n_cells)
-        .collect()
+        collect_seed_rows(seed_from if seed_from is not None else emb,
+                          n_cells, id_col, vec_col)
+        if seed_rows is None else list(seed_rows)
     )
     id_type = emb.schema[id_col].dataType
     if not rows:
@@ -665,6 +688,15 @@ def incremental_semantic_decisions(
     one whole-corpus scan would (pinned by the twin-root job test)."""
     from onnxocr_spark.operators.dedup import connected_component_keepers
 
+    # r6 (guide §5 caching rule): the new batch's cell assignment is
+    # consumed by THREE independent subtrees (the new-new self scan,
+    # every new-old bipartite scan, and the final keep-decision join),
+    # each of which would re-run the assignment UDF over the new-batch
+    # scan. One eager localCheckpoint — O(|new batch|) rows, the same
+    # bound the semantic job's bucketed layout materializes anyway —
+    # computes it once; the committed side stays lazy (O(corpus) at
+    # scale, and each part is scanned exactly once).
+    new_cells = new_cells.localCheckpoint(eager=True)
     nn = cosine_pairs_blocked(
         new_cells, threshold, block_rows, id_col, vec_col,
         cell_col="cell", cells_hint=cells_hint, n_rows=n_new,

@@ -18,7 +18,7 @@ window) — no UDFs — so Catalyst prunes/pushes through it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 CHUNK = 8
 
@@ -34,11 +34,18 @@ def derive_span_rows(docs: DataFrame) -> DataFrame:
         toks.alias("toks"),
         F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("_p", "k"),
     )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("k")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    # `pre` (media spans inserted before chunk k) in CLOSED FORM instead
+    # of a running-sum window (r6, guide §2.4 "remove shuffles
+    # outright"): m(j) = [(src·7 + j) % 3 == 0] = [j ≡ r (mod 3)] with
+    # r = (3 − src % 3) % 3  (7 ≡ 1 mod 3), so the prefix count over
+    # j < k is (k − r + 2) div 3 — always ≥ 0 for k ≥ 0, r ∈ {0,1,2}.
+    # The window forced a full-corpus hash exchange on doc_id plus a
+    # per-doc sort before a single downstream row existed; the closed
+    # form makes the whole derivation a narrow map over the scan. The
+    # DuckDB oracle (DERIVE_SQL_CTE below) keeps the window
+    # formulation — the green ocr_* oracle rows are the equivalence
+    # proof for the rewrite.
+    r = (F.lit(3) - F.col("src_id") % 3) % 3
     with_flags = chunks.select(
         "doc_id",
         "k",
@@ -46,7 +53,8 @@ def derive_span_rows(docs: DataFrame) -> DataFrame:
             "chunk"
         ),
         ((F.col("src_id") * 7 + F.col("k")) % 3 == 0).cast("int").alias("m"),
-    ).withColumn("pre", F.coalesce(F.sum("m").over(w), F.lit(0)))
+        F.floor((F.col("k") - r + 2) / 3).alias("pre"),
+    )
 
     text_span = F.struct(
         F.lit("text").alias("kind"),

@@ -266,7 +266,21 @@ def run_extract(
     """Full job: interleaved documents in → same shape out with media
     spans' text replaced by OCR results. Failed media yields text=''
     (the span survives with kind/media_ref/offset intact)."""
-    spans = explode_spans(docs)
+    return run_extract_from_spans(explode_spans(docs), cfg)
+
+
+def run_extract_from_spans(
+    spans: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """run_extract over ALREADY-EXPLODED span rows (doc_id, kind, text,
+    media_ref, offset) — for callers that derive or scan spans in row
+    form (r6, guide §2.4): ``run_extract(reassemble(rows))`` first
+    shuffles every row into per-doc arrays only for explode_spans to
+    unpack them again; since ``explode_spans ∘ reassemble`` is a
+    row-multiset identity and everything downstream (the media/text
+    split, the OCR stage, the final reassemble keyed by doc_id+offset)
+    depends only on the row multiset, entering here skips one full
+    corpus shuffle + sort with bit-identical output."""
     text_rows = spans.filter(F.col("kind") != "media").select(
         "doc_id", "kind", "text", "media_ref", "offset"
     )
@@ -291,7 +305,14 @@ def ocr_metrics(docs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFr
     """Per-partition-free metrics aggregate over the OCR stage output:
     media spans, failures, boxes, chars (the reference's latency/progress
     counters, app/engine.py:131-135, re-expressed as one agg)."""
-    spans = explode_spans(docs)
+    return ocr_metrics_from_spans(explode_spans(docs), cfg)
+
+
+def ocr_metrics_from_spans(
+    spans: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """ocr_metrics over already-exploded span rows (see
+    run_extract_from_spans for the equivalence argument)."""
     media_rows = spans.filter(F.col("kind") == "media")
     out = ocr_media_spans(media_rows, cfg)
     return out.agg(

@@ -14,7 +14,11 @@ def test_derivation_single_scan_with_pushdown(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(derive_documents(docs.filter(F.col("doc_id") < 100)))
     assert plan.count("Scan parquet") == 1, "text/media branches must share one scan"
-    assert plan.count("Window") == 1
+    # r6: the media-prefix running sum is closed-form — the derivation
+    # must stay a narrow map over the scan (no Window, and the only
+    # exchange is the reassemble groupBy itself)
+    assert plan.count("Window") == 0
+    assert plan.count("Exchange") == 1
     assert "LessThan(doc_id,100)" in plan, "filter must push into the scan"
     # column pruning: lang/source/n_chars never read
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
