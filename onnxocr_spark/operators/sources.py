@@ -264,12 +264,13 @@ def ocr_binary_media(
     if "offset" not in cols:
         media = media.withColumn("offset", F.lit(0))
     n_part = cfg.ocr_partitions or media.sparkSession.sparkContext.defaultParallelism * 2
+    # round-robin repartition, not range-on-modular-index: the range
+    # partitioner's sampling pass re-evaluated the child — here a
+    # byte-carrying decode pipeline — once more before the exchange
+    # (r6; see pipeline.ocr_media_spans)
     balanced = (
-        media.withColumn(
-            "_rr", F.pmod(F.monotonically_increasing_id(), F.lit(n_part))
-        )
-        .repartitionByRange(n_part, "_rr")
-        .select("doc_id", "offset", "media_ref", "media_bytes")
+        media.select("doc_id", "offset", "media_ref", "media_bytes")
+        .repartition(n_part)
     )
     return balanced.mapInPandas(make_ocr_media_fn(cfg), OCR_OUTPUT_SCHEMA)
 
@@ -288,13 +289,11 @@ def ocr_paged_media(
     cols = ["doc_id", "offset", "media_ref"] + (
         ["media_bytes"] if "media_bytes" in ocrd.columns else []
     )
-    balanced = (
-        ocrd.withColumn(
-            "_rr", F.pmod(F.monotonically_increasing_id(), F.lit(n_part))
-        )
-        .repartitionByRange(n_part, "_rr")
-        .select(*cols)
-    )
+    # round-robin, not range-on-modular-index (r6): the range sampling
+    # pass re-ran the whole upstream rasterization — every PDF page was
+    # rendered TWICE before the OCR exchange (measured as the doubled
+    # 41-task job pair in the pdf_pages_text battery trace)
+    balanced = ocrd.select(*cols).repartition(n_part)
     out = balanced.mapInPandas(make_ocr_media_fn(cfg), OCR_OUTPUT_SCHEMA)
     return out.groupBy("doc_id").agg(
         F.concat_ws(

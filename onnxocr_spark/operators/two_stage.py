@@ -156,11 +156,10 @@ def resolve_rec_batch_by_image(cfg: PipelineConfig) -> bool:
 
 
 def _round_robin(df: DataFrame, n_part: int, cols: list[str]) -> DataFrame:
-    return (
-        df.withColumn("_rr", F.pmod(F.monotonically_increasing_id(), F.lit(n_part)))
-        .repartitionByRange(n_part, "_rr")
-        .select(*cols)
-    )
+    # keyless round-robin (r6): same ±1 balance, one child evaluation —
+    # the range exchange's sampling pass re-ran the upstream stage
+    # (for the crop redistribution that means re-cropping) once more
+    return df.select(*cols).repartition(n_part)
 
 
 def ocr_media_spans_split(media: DataFrame, cfg: PipelineConfig) -> DataFrame:

@@ -176,15 +176,18 @@ def cost_balanced_bins(
 def ocr_media_spans(media: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """media-span rows → OCR'd rows (doc_id, offset, media_ref, text, …).
 
-    Balancing: exact round-robin via range-partitioning on a modular
-    row index. Reassembly is keyed by (doc_id, offset), so placement is
-    semantically free — round-robin is strictly stronger balancing than
-    hash-salting: per-task row counts are equal (hash gives ±3σ binomial
-    spread ≈ ±30% at bench sizes) and a heavy document's consecutive
-    media spans land in *different* partitions by construction. Measured
-    on local[16]: busy efficiency 0.77 (hash salt, 4 waves) → ~1.0
-    (round-robin, 2 waves). monotonically_increasing_id is a pure
-    function of the upstream partition layout, so retries are stable.
+    Balancing: exact round-robin (keyless ``repartition(n)``,
+    RoundRobinPartitioning). Reassembly is keyed by (doc_id, offset),
+    so placement is semantically free — round-robin is strictly
+    stronger balancing than hash-salting: per-task row counts are equal
+    (hash gives ±3σ binomial spread ≈ ±30% at bench sizes) and a heavy
+    document's consecutive media spans land in *different* partitions
+    by construction. Measured on local[16]: busy efficiency 0.77 (hash
+    salt, 4 waves) → ~1.0 (round-robin, 2 waves). Retries are stable:
+    sortBeforeRepartition (default on) pins the row→partition map.
+    r2–r5 implemented round-robin as a RANGE exchange on a modular row
+    index; r6 dropped it because the range partitioner's sampling pass
+    evaluates the child plan a second time (see the inline comment).
 
     With cfg.ocr_cost_col set (a numeric cost hint, or a binary column
     meaning "its byte size"), bins are cost-weighted instead
@@ -226,13 +229,17 @@ def ocr_media_spans(media: DataFrame, cfg: PipelineConfig) -> DataFrame:
             .select(*cols)
         )
     else:
-        balanced = (
-            media.withColumn(
-                "_rr", F.pmod(F.monotonically_increasing_id(), F.lit(n_part))
-            )
-            .repartitionByRange(n_part, "_rr")
-            .select(*cols)
-        )
+        # r6 (guide §1.2): keyless round-robin repartition instead of a
+        # range exchange on a modular row index. Row placement and
+        # balance are identical (RoundRobinPartitioning deals each
+        # input partition's rows out ±1 per target; retries are
+        # deterministic via sortBeforeRepartition), but the range
+        # exchange's PARTITIONER SAMPLING pass executed the child plan
+        # a second time — for byte-carrying corpora that is a second
+        # full decode of every media row before OCR even starts, and
+        # even ref-only corpora re-ran the span derivation. One child
+        # evaluation, no sampling job, no sampling conf sensitivity.
+        balanced = media.select(*cols).repartition(n_part)
     return balanced.mapInPandas(make_ocr_media_fn(cfg), OCR_OUTPUT_SCHEMA)
 
 

@@ -927,6 +927,53 @@ def test_bucketed_pairs_consistent_under_two_level_cells(spark):
     assert pairs == expect and expect  # non-vacuous
 
 
+def test_ann_codebook_sampling_is_not_an_id_prefix(spark):
+    """r6 (VERDICT r5 item 1): IVF/PQ codebook training must sample by
+    smallest md5(vec_id), not an id prefix. Fixture: ids 10..4105 are
+    ONE tight synthetic 'ingestion shard' cluster (the prefix a biased
+    sampler would train on almost exclusively), the query ids 0..9 and
+    everything past 4105 spread over 32 other clusters. With the r5
+    orderBy(vec_id).limit(4096) sample this test FAILS both ways
+    (measured: PQ recall 0.36, and the non-shard half of the corpus
+    collapsed into ONE IVF cell); the md5 discipline reads PQ 0.88 and
+    10 well-spread cells."""
+    import numpy as np
+
+    from onnxocr_spark.operators.similarity import (
+        _ivf_centroids, brute_force_topk, ivf_assign, pq_topk,
+    )
+
+    rows = []
+    for i in range(8192):
+        if 10 <= i < 4106:
+            v = np.zeros(64)
+            v[0] = 1.0
+            v += 0.02 * np.random.RandomState(i).randn(64)
+        else:
+            v = np.zeros(64)
+            v[1 + (i % 32)] = 1.0
+            v += 0.05 * np.random.RandomState(100000 + i).randn(64)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).cache()
+    emb.count()
+
+    bf = {(r.query_id, r.neighbor_id)
+          for r in brute_force_topk(emb, 5, 10).collect()}
+    pq = {(r.query_id, r.neighbor_id) for r in pq_topk(emb, 5, 10).collect()}
+    assert len(pq & bf) / len(bf) >= 0.70, "PQ recall collapsed: codebooks trained on a biased sample"
+
+    cents = _ivf_centroids(emb, 16, iters=10)
+    sec = ivf_assign(emb, cents).filter("vec_id >= 4106").groupBy(
+        "cluster"
+    ).count().collect()
+    total = sum(r["count"] for r in sec)
+    assert len(sec) >= 4, "non-shard corpus collapsed into too few IVF cells"
+    assert max(r["count"] for r in sec) / total <= 0.5
+    emb.unpersist()
+
+
 def test_ann_recall_gates_vs_brute_force(spark):
     """Quantitative pass criterion for the two approximate ANN operators
     (VERDICT r2 item 5): recall@5 against the exact brute-force top-k,

@@ -28,7 +28,11 @@ def test_ocr_exchange_carries_refs_only(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(run_extract(derive_documents(docs.filter("doc_id < 50"))))
     assert "MapInPandas" in plan
-    assert "rangepartitioning" in plan, "OCR stage must use the balanced exchange"
+    # r6: the balanced exchange is a keyless round-robin (one child
+    # evaluation; the old range-on-modular-index paid a partitioner
+    # sampling pass that re-ran the whole upstream)
+    assert "RoundRobinPartitioning" in plan, "OCR stage must use the balanced exchange"
+    assert "rangepartitioning" not in plan.lower()
     # no binary/image column may appear before the OCR stage exchange
     pre_udf = plan.split("MapInPandas")[-1]
     assert "media_bytes" not in pre_udf
@@ -160,13 +164,17 @@ def test_shingle_fanout_hint_is_adaptive(spark):
 
 
 def test_indexing_queries_broadcast_their_small_sides(spark):
-    """phrase_search must broadcast the exploded query-term relation
-    and bloom_ngram_decontaminate the 2k-row filter word table — the
-    map-side-death of non-matching tokens/shingles is the whole scale
-    story for both (operators/indexing.py)."""
+    """phrase_search must broadcast the exploded query-term relation —
+    the map-side-death of non-matching tokens is the whole scale story.
+    bloom_ngram_decontaminate (r6) carries its constant 16 KB filter as
+    ONE dense-array scalar subquery instead of two broadcast joins: the
+    probe plan must show the subquery and contain NO join node at all
+    (operators/indexing.py)."""
     import __spark_entry__ as em
 
     sf = "/root/testdata/sf0.001"
-    for name in ("phrase_search", "bloom_ngram_decontaminate"):
-        plan = _plan(em.queries()[name](spark, sf))
-        assert "BroadcastHashJoin" in plan, (name, plan)
+    plan = _plan(em.queries()["phrase_search"](spark, sf))
+    assert "BroadcastHashJoin" in plan, plan
+    plan = _plan(em.queries()["bloom_ngram_decontaminate"](spark, sf))
+    assert "Subquery" in plan, plan
+    assert "Join" not in plan, plan
