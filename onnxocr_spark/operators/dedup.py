@@ -99,12 +99,18 @@ def connected_component_keepers(
                 if rb < ra:
                     ra, rb = rb, ra
                 parent[rb] = ra
-        out = [(v, find(v)) for v in parent]
         e.unpersist()
         if stats is not None:
             stats["rounds"] = 0
             stats["strategy"] = "driver-union-find"
         id_t = pairs.schema[a_col].dataType
+        import pandas as pd
+
+        # pandas + Arrow for the local→DataFrame hop (guide §6): ~2.3×
+        # the list-of-tuples pickle path at these sizes.
+        out = pd.DataFrame(
+            {"doc_id": list(parent), "keeper": [find(v) for v in parent]}
+        )
         # BROADCAST hint (r6, guide §3.1): this path's label table is
         # ≤ small_collect_threshold rows BY CONSTRUCTION, but a
         # createDataFrame relation has no reliable size estimate, so
