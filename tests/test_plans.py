@@ -24,6 +24,48 @@ def test_derivation_single_scan_with_pushdown(spark):
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
 
 
+def test_derive_closed_form_prefix_matches_running_sum(spark):
+    """r6: derive_span_rows computes the media-prefix count in closed
+    form ((k − r + 2) div 3 with r = (3 − src%3) % 3) instead of a
+    window running sum. Pin the formula against a literal Python
+    replay of the r5 rule — per (src_id, k): m(j) = [(src·7+j)%3 == 0],
+    pre(k) = Σ_{j<k} m(j) — across every doc in a real slice, so a
+    future edit to either side breaks loudly here rather than in the
+    cross-engine oracle battery."""
+    from onnxocr_spark.operators.spans_derive import derive_span_rows
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter(F.col("doc_id") < 64)
+    rows = derive_span_rows(docs).collect()
+    raw = {r.doc_id: r.text for r in docs.select(
+        F.format_string("doc_%012d", "doc_id").alias("doc_id"), "text"
+    ).collect()}
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(raw)
+    for did, text in raw.items():
+        src = int(did.split("_")[1])
+        toks = text.split(" ")
+        n_chunks = -(-len(toks) // 8)
+        expect = []
+        off = 0
+        for k in range(n_chunks):
+            expect.append(("text", " ".join(toks[k * 8:(k + 1) * 8]), "", off))
+            off += 1
+            if (src * 7 + k) % 3 == 0:
+                expect.append(
+                    ("media", "", f"img://{did}/{off}", off)
+                )
+                off += 1
+        got = sorted(
+            ((r.kind, r.text, r.media_ref, r.offset) for r in by_doc[did]),
+            key=lambda t: t[3],
+        )
+        assert got == expect, did
+
+
 def test_ocr_exchange_carries_refs_only(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(run_extract(derive_documents(docs.filter("doc_id < 50"))))
