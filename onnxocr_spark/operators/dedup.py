@@ -399,6 +399,12 @@ def incremental_new_doc_decisions(
     join ships 16-byte signatures; CC state is one row per clustered
     NEW doc plus matched hubs. A daily 1%-ingest run costs ~1% of the
     full-corpus job."""
+    # NOTE (r6 probe, negative result): do NOT localCheckpoint
+    # new_bands here. The star window and the cross-run index join key
+    # on the SAME (band, band_sig) columns, so AQE's runtime exchange
+    # reuse already dedupes the bands subtree (job trace: exactly one
+    # new-half minhash job before the change; a checkpoint read flat
+    # wall, +2 jobs, and would pin an O(|new batch|) materialization).
     star = star_edges_from_bands(new_bands)
     # `index` may arrive as a LIST of parts (sinks/bucketed.py: the
     # bucketed base table + the post-bucketize parquet delta). Each

@@ -708,11 +708,62 @@ def incremental_semantic_decisions(
     # computes it once; the committed side stays lazy (O(corpus) at
     # scale, and each part is scanned exactly once).
     new_cells = new_cells.localCheckpoint(eager=True)
+    parts = old_cells if isinstance(old_cells, (list, tuple)) else [old_cells]
+    if (
+        len(parts) == 1
+        and not isinstance(parts[0], tuple)
+        and n_new is not None
+        and n_old is not None
+    ):
+        # FUSED single-pass scan (r6, guide §2.3/§2.4): the new-new
+        # self scan and the new-old bipartite scan key on the same
+        # (cell, gb) tiling, so ONE bipartite pass over
+        # corpus = new ∪ old emits both edge families together —
+        # one exchange + one grouped-GEMM stage over the new batch
+        # instead of two. Committed ids are negated BEFORE the scan
+        # (id spaces stay disjoint: new ≥ 0, mapped old < 0), so the
+        # kernel's id_a≠id_b guard and the committed-wins negative
+        # vertices come out unchanged. The emitted UNDIRECTED edge set
+        # is identical to the two-scan union (tiling is pure grouping;
+        # a new-new pair now appears in both directions — parallel
+        # edges the CC absorbs by construction). Cost: the new-new
+        # GEMM computes both triangles (|new|²/C extra flops per cell
+        # vs the half-triangle self scan) — the strictly smaller term
+        # in the incremental regime |old| ≫ |new|, and it buys one
+        # fewer full pass over the new batch. The multi-part and
+        # pre-grouped (bucketed, shuffle-free cogroup) job paths below
+        # are untouched.
+        mapped_old = parts[0].select(
+            F.col("cell"),
+            (-F.col(id_col) - F.lit(1)).cast("bigint").alias(id_col),
+            F.col(vec_col),
+        )
+        corpus = new_cells.select(
+            F.col("cell"),
+            F.col(id_col).cast("bigint").alias(id_col),
+            F.col(vec_col),
+        ).unionByName(mapped_old)
+        edges = cosine_pairs_bipartite(
+            new_cells, corpus, threshold, block_rows, id_col, vec_col,
+            cell_col="cell", cells_hint=cells_hint,
+            b_rows=n_new + n_old,
+        ).select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        )
+        labels = connected_component_keepers(edges)
+        return new_cells.select(F.col(id_col)).join(
+            labels.withColumnRenamed("doc_id", id_col), id_col, "left"
+        ).select(
+            id_col,
+            (
+                F.col("keeper").isNull()
+                | (F.col("keeper") == F.col(id_col))
+            ).alias("kept"),
+        )
     nn = cosine_pairs_blocked(
         new_cells, threshold, block_rows, id_col, vec_col,
         cell_col="cell", cells_hint=cells_hint, n_rows=n_new,
     )
-    parts = old_cells if isinstance(old_cells, (list, tuple)) else [old_cells]
     no = None
     for part in parts:
         if isinstance(part, tuple):
