@@ -1604,3 +1604,67 @@ def test_doc_text_zip_shards(spark, extracted, tmp_path):
             for name in z.namelist():
                 got[name[:-4]] = z.read(name).decode()
     assert n == len(exp) and got == exp
+
+
+def test_incremental_semantic_fused_scan_matches_two_scan_path(spark):
+    """r6 fused single-pass scan (similarity.incremental_semantic_
+    decisions): when the committed side is ONE plain frame and both row
+    counts are supplied, the operator fuses the new-new self scan and
+    the new-old bipartite scan into one bipartite pass over
+    new ∪ negated-old. Decisions must be IDENTICAL to the two-scan
+    path (forced here by withholding n_old), on a fixture that
+    exercises every decision class: new-new dup pairs, new-old dups,
+    a transitive chain into a committed doc, and isolated new docs —
+    across tilings small enough that blocks actually split."""
+    from onnxocr_spark.operators.similarity import (
+        incremental_semantic_decisions,
+    )
+
+    def e(i, scale=1.0, j=None, jw=0.0):
+        v = [0.0] * 8
+        v[i] = scale
+        if j is not None:
+            v[j] = jw
+        return v
+
+    # orthogonal basis fixture — every cross-cosine is exactly 0, 0.11,
+    # 0.6, 0.8 or ~1; nothing sits near the 0.45 threshold.
+    # committed batch (ids 0..5); doc 4 (= e3, cell 0) is the chain
+    # target for the transitive case
+    old_rows = [
+        (0, e(0), 0), (1, e(1), 0), (2, e(2), 1),
+        (3, e(2, 2.0), 1), (4, e(3), 0), (5, e(4), 1),
+    ]
+    # new batch (ids 100..107):
+    #   100~101: new-new dup pair in cell 0 (cos ≈ 0.994), no
+    #            committed contact → min id 100 kept, 101 retired
+    #   102:     parallel to committed 2/3 (cell 1) → retired
+    #   103=e7:  touches NOTHING committed (cos 0 to all of cell 0)
+    #            but cos(103,104)=0.6 → retired TRANSITIVELY via 104
+    #   104=0.8·e3+0.6·e7: cos 0.8 to committed 4 → retired
+    #   105/106/107: isolated in their cells → kept
+    new_rows = [
+        (100, e(5), 0), (101, e(5, 0.9, j=6, jw=0.1), 0),
+        (102, e(2, 1.1), 1),
+        (103, e(7), 0), (104, e(3, 0.8, j=7, jw=0.6), 0),
+        (105, e(6), 0), (106, e(5), 1), (107, e(6), 1),
+    ]
+    schema = "vec_id long, embedding array<double>, cell long"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+
+    def decisions(**kw):
+        df = incremental_semantic_decisions(
+            new, old, threshold=0.45, cells_hint=2, block_rows=3, **kw
+        )
+        return sorted((int(r.vec_id), bool(r.kept)) for r in df.collect())
+
+    fused = decisions(n_new=len(new_rows), n_old=len(old_rows))
+    two_scan = decisions(n_new=len(new_rows), n_old=None)  # forces old path
+    assert fused == two_scan
+    kept = {i for i, k in fused if k}
+    # decision classes are actually exercised: committed contact
+    # retires (102 directly; 103 only TRANSITIVELY through 104's
+    # contact with committed 4), a pure new-new pair keeps its min
+    # (100 over 101), isolated docs survive
+    assert kept == {100, 105, 106, 107}
