@@ -74,34 +74,61 @@ qd AS (
          split(text, ' ') AS t
   FROM documents WHERE doc_id % 97 = 0
 ),
-qt AS (
-  SELECT q_doc, phrase_len, i, t[i] AS token
-  FROM qd LATERAL VIEW explode(sequence(0, CAST(phrase_len AS INT) - 1)) x AS i
-  WHERE size(t) >= phrase_len
+qp AS (
+  SELECT q_doc, phrase_len,
+         concat_ws(' ', slice(t, 1, CAST(phrase_len AS INT))) AS phrase
+  FROM qd WHERE size(t) >= phrase_len
 ),
-votes AS (
-  SELECT /*+ BROADCAST(qt) */ qt.q_doc, qt.phrase_len, tok.doc_id,
-         tok.pos - qt.i AS start_pos, qt.i
-  FROM tok JOIN qt ON tok.token = qt.token
+grams AS (
+  SELECT doc_id,
+         token || ' ' || LEAD(token, 1) OVER w
+               || ' ' || LEAD(token, 2) OVER w AS g3,
+         token || ' ' || LEAD(token, 1) OVER w
+               || ' ' || LEAD(token, 2) OVER w
+               || ' ' || LEAD(token, 3) OVER w AS g4,
+         token || ' ' || LEAD(token, 1) OVER w
+               || ' ' || LEAD(token, 2) OVER w
+               || ' ' || LEAD(token, 3) OVER w
+               || ' ' || LEAD(token, 4) OVER w AS g5
+  FROM tok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
 ),
-hits AS (
-  SELECT q_doc, doc_id, start_pos
-  FROM votes
-  GROUP BY q_doc, phrase_len, doc_id, start_pos
-  HAVING bit_count(bit_or(shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))))
-         = phrase_len
+cand AS (
+  SELECT doc_id, L, gram
+  FROM grams
+  LATERAL VIEW explode(map(CAST(3 AS BIGINT), g3,
+                           CAST(4 AS BIGINT), g4,
+                           CAST(5 AS BIGINT), g5)) x AS L, gram
+  WHERE gram IS NOT NULL
 )
-SELECT q_doc, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occur
-FROM hits GROUP BY q_doc, doc_id
+SELECT /*+ BROADCAST(qp) */ qp.q_doc, cand.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_occur
+FROM cand JOIN qp ON cand.L = qp.phrase_len AND cand.gram = qp.phrase
+GROUP BY qp.q_doc, cand.doc_id
 """
-# ^ the all-L-votes test is popcount(OR of one-hot i bits) = L rather
-# than COUNT(DISTINCT i) (r6, guide §2.3 "aggregate before you
-# shuffle"): count-distinct plans an Expand (doubling the vote stream
-# into the shuffle) plus a two-phase distinct aggregation, while bit_or
-# is a plain map-side-combinable aggregate — equal by construction
-# because i < phrase_len <= 5 < 64, so distinct vote indices and set
-# bits are in bijection. The DuckDB twin keeps COUNT(DISTINCT i): the
-# cross-engine green row proves the equivalence on real data.
+# ^ SLIDING-GRAM formulation (r6 continuation, guide §1.2). The
+# original inverted-index shape joined EVERY corpus token occurrence
+# against EVERY query term and vote-intersected per (q, doc, start).
+# Both sides of that join scale with the corpus (the query set is
+# doc_id % 97 = 0), so the votes intermediate is quadratic BY
+# CONSTRUCTION — measured 1.87 M rows at sf0.1 but 186 M at a 10×
+# corpus. This plan instead materializes each position's 3/4/5-gram
+# once (one hash exchange of the token table by doc_id + a per-doc
+# LEAD window — the {3,4,5} map keys are exactly the phrase_len
+# domain 3 + (doc_id DIV 97) % 3) and equi-joins the gram string
+# against the BROADCAST phrase strings, so the intermediate is
+# 3 rows/token — linear — and matches only survive the join.
+# Row-identical by construction: a phrase of length L matches at
+# (doc, start) iff the L-gram at start equals it — space-joined grams
+# are injective because split-on-space tokens cannot contain a space,
+# and `||` NULL-propagation (NOT concat_ws, which skips NULLs) kills
+# doc-tail grams so no short-tail false positives exist. The DuckDB
+# twin keeps the votes + COUNT(DISTINCT i) formulation: the
+# cross-engine green row is the equivalence proof. Measured: sf0.1
+# cold-call parity within drift (interleaved 5.17/4.92 old vs
+# 5.41/4.19 new, warm both ~1.1-1.7 s) and a 10× tiled corpus
+# 39 → 3.2 s warm (12×); an anchor-first variant tried en route read
+# 13 s at 10× but paid ~0.7 s at sf0.1 — this one holds both scales.
 
 PHRASE_SEARCH_DUCK = """
 WITH tok AS (

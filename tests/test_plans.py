@@ -206,8 +206,10 @@ def test_shingle_fanout_hint_is_adaptive(spark):
 
 
 def test_indexing_queries_broadcast_their_small_sides(spark):
-    """phrase_search must broadcast the exploded query-term relation —
-    the map-side-death of non-matching tokens is the whole scale story.
+    """phrase_search must broadcast the query-phrase relation (r6
+    continuation: the sliding-gram formulation joins each position's
+    3/4/5-gram against the broadcast phrase strings) — the
+    map-side-death of non-matching grams is the whole scale story.
     bloom_ngram_decontaminate (r6) carries its constant 16 KB filter as
     ONE dense-array scalar subquery instead of two broadcast joins: the
     probe plan must show the subquery and contain NO join node at all
