@@ -79,19 +79,23 @@ qp AS (
          concat_ws(' ', slice(t, 1, CAST(phrase_len AS INT))) AS phrase
   FROM qd WHERE size(t) >= phrase_len
 ),
-grams AS (
-  SELECT doc_id,
-         token || ' ' || LEAD(token, 1) OVER w
-               || ' ' || LEAD(token, 2) OVER w AS g3,
-         token || ' ' || LEAD(token, 1) OVER w
-               || ' ' || LEAD(token, 2) OVER w
-               || ' ' || LEAD(token, 3) OVER w AS g4,
-         token || ' ' || LEAD(token, 1) OVER w
-               || ' ' || LEAD(token, 2) OVER w
-               || ' ' || LEAD(token, 3) OVER w
-               || ' ' || LEAD(token, 4) OVER w AS g5
+leads AS (
+  -- one LEAD per distance: Spark does NOT dedupe textually repeated
+  -- window expressions across output columns (9 lead evals observed
+  -- in the plan when the g3/g4/g5 concats inlined them), so project
+  -- the 4 distinct leads once and concat in the parent
+  SELECT doc_id, token,
+         LEAD(token, 1) OVER w AS l1, LEAD(token, 2) OVER w AS l2,
+         LEAD(token, 3) OVER w AS l3, LEAD(token, 4) OVER w AS l4
   FROM tok
   WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grams AS (
+  SELECT doc_id,
+         token || ' ' || l1 || ' ' || l2 AS g3,
+         token || ' ' || l1 || ' ' || l2 || ' ' || l3 AS g4,
+         token || ' ' || l1 || ' ' || l2 || ' ' || l3 || ' ' || l4 AS g5
+  FROM leads
 ),
 cand AS (
   SELECT doc_id, L, gram
